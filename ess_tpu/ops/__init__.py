@@ -1,0 +1,22 @@
+from ess_tpu.ops.voxel import (
+    EventWindow,
+    event_histogram,
+    normalize_nonzero,
+    voxel_grid_temporal,
+    voxel_grid_trilinear,
+)
+from ess_tpu.ops.pad import CropGeometry, reflect_pad, crop_output
+from ess_tpu.ops.resize import resize_bilinear, resize_nearest
+
+__all__ = [
+    "EventWindow",
+    "event_histogram",
+    "normalize_nonzero",
+    "voxel_grid_temporal",
+    "voxel_grid_trilinear",
+    "CropGeometry",
+    "reflect_pad",
+    "crop_output",
+    "resize_bilinear",
+    "resize_nearest",
+]
