@@ -1,0 +1,230 @@
+"""E2VID model family: (recurrent) UNet events->image reconstruction nets.
+
+Capability parity with the reference model family
+(/root/reference/e2vid/model/model.py:9-166, e2vid/model/unet.py:16-279):
+``UNet`` (plain), ``RecurrentUNet`` (E2VIDRecurrent: per-encoder ConvLSTM,
+returns image + states + multi-scale latent dict), and ``UNetDecoder``
+(decoder-only variant, E2VIDDecoder).
+
+The shipped E2VID-lightweight geometry is 3 encoders / base 32 / sum skips /
+no norm (SURVEY.md section 2.5): latent channels {1: 32, 2: 64, 4: 128,
+8: 256}.
+
+TPU-first: NHWC; recurrent state is an explicit pytree argument (a tuple of
+per-encoder ConvLSTM (h, c) pairs) so a 20-window rollout is one
+``jax.lax.scan`` with donated carry, not 20 retraced calls; the latent dict
+is keyed by downsample factor like the reference so the segmentation head and
+cycle losses line up.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ess_tpu.models.layers import (
+    ConvLayer,
+    RecurrentConvLayer,
+    ResidualBlock,
+    TransposedConvLayer,
+    UpsampleConvLayer,
+    skip_merge,
+)
+
+Dtype = Any
+Latent = Dict[int, jax.Array]
+
+
+def zero_recurrent_state(
+    batch: int,
+    height: int,
+    width: int,
+    *,
+    num_encoders: int = 3,
+    base_channels: int = 32,
+    recurrent_block: str = "convlstm",
+    dtype=jnp.float32,
+):
+    """Zero ConvLSTM/GRU state for a padded (height, width) input.
+
+    Equivalent to the reference's lazily-created zero state tensors
+    (submodules.py:195-207); here the caller owns the state explicitly.
+    """
+    states = []
+    h, w = height, width
+    for i in range(num_encoders):
+        h, w = h // 2, w // 2
+        c = base_channels * 2 ** (i + 1)
+        zeros = jnp.zeros((batch, h, w, c), dtype)
+        states.append((zeros, zeros) if recurrent_block == "convlstm" else zeros)
+    return tuple(states)
+
+
+class RecurrentUNet(nn.Module):
+    """E2VID recurrent UNet (unet.py:117-181 behavior).
+
+    head 5x5 conv -> num_encoders x (stride-2 conv + ConvLSTM) ->
+    num_residual_blocks resblocks -> decoders with skip merge -> 1x1 pred +
+    sigmoid. Returns ``(image, new_states, latent)`` where latent maps
+    downsample factor -> NHWC feature (latent[1]=head, latent[2^i]=encoder
+    i-1 output), matching unet.py:172.
+    """
+
+    base_channels: int = 32
+    num_encoders: int = 3
+    num_residual_blocks: int = 2
+    num_output_channels: int = 1
+    skip_type: str = "sum"
+    recurrent_block: str = "convlstm"
+    norm: Optional[str] = None
+    use_upsample_conv: bool = True
+    final_activation: Optional[str] = "sigmoid"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, states: Sequence, *, train: bool = False,
+        decode: bool = True,
+    ) -> Tuple[Optional[jax.Array], Tuple, Latent]:
+        """Forward one event window.
+
+        ``decode=False`` runs only head + recurrent encoders (state update +
+        latent) and returns ``(None, states, latent)``. The training rollout
+        uses this for all but the final window — only the last window's image
+        and decoded features are ever consumed (ess_trainer.py:277-285), so
+        skipping the decoder halves the recurrent FLOPs.
+        """
+        compute = x.astype(self.dtype)
+
+        head = ConvLayer(
+            self.base_channels, kernel_size=5, strides=1,
+            activation="relu", norm=None, dtype=self.dtype, name="head",
+        )(compute, train=train)
+
+        latent: Latent = {1: head}
+        blocks = []
+        new_states = []
+        h = head
+        for i in range(self.num_encoders):
+            features = self.base_channels * 2 ** (i + 1)
+            h, st = RecurrentConvLayer(
+                features, kernel_size=5, strides=2,
+                recurrent_block=self.recurrent_block, norm=self.norm,
+                dtype=self.dtype, name=f"encoder_{i}",
+            )(h, states[i], train=train)
+            blocks.append(h)
+            new_states.append(st)
+            latent[2 ** (i + 1)] = h
+
+        if not decode:
+            return None, tuple(new_states), latent
+
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(
+                self.base_channels * 2 ** self.num_encoders,
+                norm=self.norm, dtype=self.dtype, name=f"resblock_{i}",
+            )(h, train=train)
+
+        Up = UpsampleConvLayer if self.use_upsample_conv else TransposedConvLayer
+        for i in range(self.num_encoders):
+            in_scale_feats = self.base_channels * 2 ** (self.num_encoders - i)
+            h = Up(
+                in_scale_feats // 2, kernel_size=5,
+                activation="relu", norm=self.norm, dtype=self.dtype,
+                name=f"decoder_{i}",
+            )(skip_merge(self.skip_type, h, blocks[self.num_encoders - i - 1]),
+              train=train)
+
+        img = ConvLayer(
+            self.num_output_channels, kernel_size=1, strides=1,
+            activation=self.final_activation, norm=self.norm,
+            dtype=self.dtype, name="pred",
+        )(skip_merge(self.skip_type, h, head), train=train)
+
+        return img.astype(jnp.float32), tuple(new_states), latent
+
+
+class UNet(nn.Module):
+    """Plain (non-recurrent) E2VID UNet (unet.py:70-114 behavior)."""
+
+    base_channels: int = 32
+    num_encoders: int = 3
+    num_residual_blocks: int = 2
+    num_output_channels: int = 1
+    skip_type: str = "sum"
+    norm: Optional[str] = None
+    use_upsample_conv: bool = True
+    final_activation: Optional[str] = "sigmoid"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        compute = x.astype(self.dtype)
+        head = ConvLayer(self.base_channels, kernel_size=5, activation="relu",
+                         dtype=self.dtype, name="head")(compute, train=train)
+        blocks = []
+        h = head
+        for i in range(self.num_encoders):
+            h = ConvLayer(
+                self.base_channels * 2 ** (i + 1), kernel_size=5, strides=2,
+                activation="relu", norm=self.norm, dtype=self.dtype,
+                name=f"encoder_{i}",
+            )(h, train=train)
+            blocks.append(h)
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(self.base_channels * 2 ** self.num_encoders,
+                              norm=self.norm, dtype=self.dtype,
+                              name=f"resblock_{i}")(h, train=train)
+        Up = UpsampleConvLayer if self.use_upsample_conv else TransposedConvLayer
+        for i in range(self.num_encoders):
+            h = Up(
+                self.base_channels * 2 ** (self.num_encoders - i) // 2,
+                kernel_size=5, activation="relu", norm=self.norm,
+                dtype=self.dtype, name=f"decoder_{i}",
+            )(skip_merge(self.skip_type, h, blocks[self.num_encoders - i - 1]),
+              train=train)
+        img = ConvLayer(self.num_output_channels, kernel_size=1,
+                        activation=self.final_activation, dtype=self.dtype,
+                        name="pred")(skip_merge(self.skip_type, h, head),
+                                     train=train)
+        return img.astype(jnp.float32)
+
+
+class UNetDecoder(nn.Module):
+    """Decoder-only variant (unet.py:183-219, E2VIDDecoder model.py:103-139):
+    consumes a latent dict produced elsewhere and decodes an image."""
+
+    base_channels: int = 32
+    num_encoders: int = 3
+    num_residual_blocks: int = 2
+    num_output_channels: int = 1
+    skip_type: str = "sum"
+    norm: Optional[str] = None
+    use_upsample_conv: bool = True
+    final_activation: Optional[str] = "sigmoid"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent: Latent, *, train: bool = False) -> jax.Array:
+        h = latent[2 ** self.num_encoders].astype(self.dtype)
+        head = latent[1]
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(self.base_channels * 2 ** self.num_encoders,
+                              norm=self.norm, dtype=self.dtype,
+                              name=f"resblock_{i}")(h, train=train)
+        Up = UpsampleConvLayer if self.use_upsample_conv else TransposedConvLayer
+        for i in range(self.num_encoders):
+            h = Up(
+                self.base_channels * 2 ** (self.num_encoders - i) // 2,
+                kernel_size=5, activation="relu", norm=self.norm,
+                dtype=self.dtype, name=f"decoder_{i}",
+            )(skip_merge(self.skip_type, h, latent[2 ** (self.num_encoders - i)]),
+              train=train)
+        img = ConvLayer(self.num_output_channels, kernel_size=1,
+                        activation=self.final_activation, dtype=self.dtype,
+                        name="pred")(skip_merge(self.skip_type, h, head),
+                                     train=train)
+        return img.astype(jnp.float32)

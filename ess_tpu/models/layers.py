@@ -1,0 +1,319 @@
+"""Layer primitives: conv blocks, recurrent conv cells, style blocks.
+
+Capability parity with the reference conv zoo
+(/root/reference/e2vid/model/submodules.py:7-273 — ConvLayer,
+TransposedConvLayer, UpsampleConvLayer, RecurrentConvLayer, ResidualBlock,
+ConvLSTM, ConvGRU) and the style-network building blocks
+(/root/reference/models/style_networks.py:152-201 — ReLUINSConv2d,
+INSResBlock).
+
+TPU-first choices:
+- NHWC layout throughout (XLA:TPU's native conv layout).
+- A ``dtype`` knob threads bfloat16 compute through every conv while params
+  stay float32 (MXU-native mixed precision).
+- Recurrent cells are pure functions of (input, state) -> (output, state) so
+  the temporal rollout lives in a single ``jax.lax.scan`` (see
+  ess_tpu/recon/reconstructor.py) instead of a Python loop.
+- ConvLSTM computes all four gates with one conv on concat([x, h]) — one big
+  MXU matmul per step; gate order (input, forget, output, candidate) is fixed
+  so torch checkpoints convert index-for-index.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "relu": nn.relu,
+    "sigmoid": nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+
+def activation_fn(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    if name is None:
+        return lambda x: x
+    return _ACTIVATIONS[name]
+
+
+def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:
+    """Per-sample, per-channel normalization over spatial dims (no affine).
+
+    Equivalent to torch InstanceNorm2d(affine=False), the default used by
+    the style blocks (style_networks.py:165, :180).
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + epsilon)
+
+
+class ConvLayer(nn.Module):
+    """Conv + optional norm + optional activation (submodules.py:7-31)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None  # None | 'BN' | 'IN'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            use_bias=self.norm != "BN",
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(x)
+        elif self.norm == "IN":
+            x = instance_norm(x)
+        return activation_fn(self.activation)(x)
+
+
+class TransposedConvLayer(nn.Module):
+    """Stride-2 transposed conv upsample (submodules.py:34-63)."""
+
+    features: int
+    kernel_size: int = 5
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=self.norm != "BN",
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(x)
+        elif self.norm == "IN":
+            x = instance_norm(x)
+        return activation_fn(self.activation)(x)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample, half-pixel centers (torch align_corners=False)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """2x nearest upsample via broadcast-reshape (cheaper than gather resize;
+    same trick the reference special-cases in models/submodules.py:14-22)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+class UpsampleConvLayer(nn.Module):
+    """Bilinear 2x upsample + conv — no checkerboard artefacts
+    (submodules.py:66-94)."""
+
+    features: int
+    kernel_size: int = 5
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = upsample2x_bilinear(x)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=self.norm != "BN",
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(x)
+        elif self.norm == "IN":
+            x = instance_norm(x)
+        return activation_fn(self.activation)(x)
+
+
+class ResidualBlock(nn.Module):
+    """conv-norm-relu-conv-norm + skip, final relu (submodules.py:143-172)."""
+
+    features: int
+    norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        residual = x
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    use_bias=self.norm != "BN", dtype=self.dtype)(x)
+        if self.norm == "BN":
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(y)
+        elif self.norm == "IN":
+            y = instance_norm(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    use_bias=self.norm != "BN", dtype=self.dtype)(y)
+        if self.norm == "BN":
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(y)
+        elif self.norm == "IN":
+            y = instance_norm(y)
+        return nn.relu(y + residual)
+
+
+# ----------------------------------------------------------------------
+# Recurrent conv cells
+# ----------------------------------------------------------------------
+
+LSTMState = Tuple[jax.Array, jax.Array]  # (hidden, cell), NHWC each
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell (submodules.py:175-230).
+
+    One fused gates conv: concat([x, h]) -> 4*hidden channels, split into
+    (input, forget, output, candidate) gates.
+    """
+
+    hidden: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state: LSTMState) -> Tuple[jax.Array, LSTMState]:
+        h_prev, c_prev = state
+        gates = nn.Conv(
+            4 * self.hidden,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            dtype=self.dtype,
+            name="gates",
+        )(jnp.concatenate([x, h_prev.astype(x.dtype)], axis=-1))
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        c = nn.sigmoid(f) * c_prev.astype(x.dtype) + nn.sigmoid(i) * jnp.tanh(g)
+        h = nn.sigmoid(o) * jnp.tanh(c)
+        return h, (h, c)
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU cell (submodules.py:233-273). Orthogonal-initialized
+    gate convs as in the reference."""
+
+    hidden: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        h_prev = state.astype(x.dtype)
+        xh = jnp.concatenate([x, h_prev], axis=-1)
+        ortho = nn.initializers.orthogonal()
+        update = nn.sigmoid(
+            nn.Conv(self.hidden, (self.kernel_size, self.kernel_size), padding="SAME",
+                    kernel_init=ortho, dtype=self.dtype, name="update_gate")(xh))
+        reset = nn.sigmoid(
+            nn.Conv(self.hidden, (self.kernel_size, self.kernel_size), padding="SAME",
+                    kernel_init=ortho, dtype=self.dtype, name="reset_gate")(xh))
+        cand = jnp.tanh(
+            nn.Conv(self.hidden, (self.kernel_size, self.kernel_size), padding="SAME",
+                    kernel_init=ortho, dtype=self.dtype, name="out_gate")(
+                jnp.concatenate([x, h_prev * reset], axis=-1)))
+        h = h_prev * (1.0 - update) + cand * update
+        return h, h
+
+
+class RecurrentConvLayer(nn.Module):
+    """Stride-2 conv encoder followed by a recurrent cell
+    (submodules.py:97-115)."""
+
+    features: int
+    kernel_size: int = 5
+    strides: int = 2
+    recurrent_block: str = "convlstm"  # 'convlstm' | 'convgru'
+    norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state, *, train: bool = False):
+        x = ConvLayer(
+            self.features, self.kernel_size, self.strides,
+            activation="relu", norm=self.norm, dtype=self.dtype, name="conv",
+        )(x, train=train)
+        if self.recurrent_block == "convlstm":
+            cell = ConvLSTMCell(self.features, dtype=self.dtype, name="rnn")
+        else:
+            cell = ConvGRUCell(self.features, dtype=self.dtype, name="rnn")
+        out, new_state = cell(x, state)
+        return out, new_state
+
+
+# ----------------------------------------------------------------------
+# Style-network blocks (instance-norm family)
+# ----------------------------------------------------------------------
+
+def _gaussian_init(stddev: float = 0.02):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class ReLUINSConv2d(nn.Module):
+    """conv -> InstanceNorm(no affine) -> ReLU with N(0, 0.02) init
+    (style_networks.py:159-171)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            kernel_init=_gaussian_init(),
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(instance_norm(x))
+
+
+class INSResBlock(nn.Module):
+    """(conv3x3 -> IN -> ReLU -> conv3x3 -> IN) + residual
+    (style_networks.py:174-194)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    kernel_init=_gaussian_init(), dtype=self.dtype)(x)
+        y = nn.relu(instance_norm(y))
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    kernel_init=_gaussian_init(), dtype=self.dtype)(y)
+        y = instance_norm(y)
+        return y + x
+
+
+def skip_merge(kind: str, x: jax.Array, skip: jax.Array) -> jax.Array:
+    """'sum' or 'concat' skip connection (unet.py:9-15)."""
+    if kind == "sum":
+        return x + skip.astype(x.dtype)
+    return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)

@@ -1,0 +1,91 @@
+"""ResNet18-based grayscale image encoder (sensor-A front-end).
+
+Capability parity with StyleEncoderE2VID
+(/root/reference/models/style_networks.py:110-145): a 1-channel 7x7/2 stem
+(no maxpool) followed by ResNet18's bn/relu and layer1 (scale 2, 64ch),
+layer2 (scale 4, 128ch), layer3 (scale 8, 256ch). Output is a multi-scale
+latent dict {1: input, 2: ..., 4: ..., 8: ...} whose channel counts match the
+E2VID recurrent latent, so the two domains share one segmentation head.
+
+The reference initializes from torchvision's ImageNet-pretrained resnet18;
+``ess_tpu.io.convert.load_torch_resnet18`` converts those weights when a
+torch checkpoint is available (no-network environments train from scratch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block: two 3x3 convs with BN, identity or 1x1-projected
+    skip."""
+
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        needs_proj = self.strides != 1 or x.shape[-1] != self.features
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        if needs_proj:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="proj_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, dtype=self.dtype,
+                                    name="proj_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18Encoder(nn.Module):
+    """Grayscale ResNet18 trunk returning multi-scale features.
+
+    Stem: 7x7/2 conv (1 -> 64) + BN + ReLU, deliberately without the usual
+    maxpool (style_networks.py:115-121) so layer1 output sits at scale 2.
+    """
+
+    dtype: Dtype = jnp.float32
+    skip_connect: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[int, jax.Array]:
+        out: Dict[int, jax.Array] = {1: x}
+        h = x.astype(self.dtype)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(h)
+        h = nn.relu(h)
+        # layer1: 2 blocks @ 64ch, stride 1 (scale 2)
+        h = BasicBlock(64, dtype=self.dtype, name="layer1_0")(h, train=train)
+        h = BasicBlock(64, dtype=self.dtype, name="layer1_1")(h, train=train)
+        if self.skip_connect:
+            out[2] = h
+        # layer2: 2 blocks @ 128ch, first stride 2 (scale 4)
+        h = BasicBlock(128, strides=2, dtype=self.dtype, name="layer2_0")(h, train=train)
+        h = BasicBlock(128, dtype=self.dtype, name="layer2_1")(h, train=train)
+        if self.skip_connect:
+            out[4] = h
+        # layer3: 2 blocks @ 256ch, first stride 2 (scale 8)
+        h = BasicBlock(256, strides=2, dtype=self.dtype, name="layer3_0")(h, train=train)
+        h = BasicBlock(256, dtype=self.dtype, name="layer3_1")(h, train=train)
+        out[8] = h
+        return out

@@ -1,0 +1,126 @@
+"""Recurrent E2VID reconstruction runtime.
+
+Capability parity with the reference's ImageReconstructor
+(/root/reference/e2vid/image_reconstructor.py:18-163): per-window event
+normalization (EventPreprocessor, inference_utils.py:56-109), reflection pad
+to UNet-divisible size (CropParameters, inference_utils.py:302-338), the
+recurrent model forward with carried ConvLSTM state, and optional per-image
+standardization.
+
+TPU-first redesign: instead of a stateful object called 20x per batch from
+Python (ess_trainer.py:277-280), the whole multi-window rollout is ONE
+``jax.lax.scan`` inside jit — state stays in HBM, XLA pipelines the windows,
+and nothing retraces. The reference resets state per sample
+(ess_trainer.py:271); here the caller passes a fresh ``init_state`` (or a
+carried one for streaming eval — sequence_recurrent.py semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ess_tpu.models.e2vid import RecurrentUNet, zero_recurrent_state
+from ess_tpu.ops.pad import CropGeometry, reflect_pad
+from ess_tpu.ops.voxel import normalize_nonzero
+
+
+def preprocess_event_tensor(
+    events: jax.Array, *, normalize: bool = True, flip: bool = False
+) -> jax.Array:
+    """Per-sample event-tensor preprocessing (inference_utils.py:86-108).
+
+    ``events`` is NHWC. Normalization standardizes the nonzero entries of
+    each sample's voxel grid to mean 0 / std 1.
+    """
+    if flip:
+        events = events[:, ::-1, ::-1, :]
+    if normalize:
+        events = jax.vmap(normalize_nonzero)(events)
+    return events
+
+
+@dataclass(frozen=True)
+class Reconstructor:
+    """Functional recurrent-reconstruction runtime.
+
+    Holds the model *definition* and static geometry; parameters are passed
+    per-call (pure functions compose with jit/grad/shard_map).
+    """
+
+    model: RecurrentUNet
+    height: int
+    width: int
+    normalize: bool = True
+    flip: bool = False
+    standardize: bool = False
+
+    @property
+    def geometry(self) -> CropGeometry:
+        return CropGeometry(self.height, self.width, self.model.num_encoders)
+
+    def init_state(self, batch: int, dtype=None):
+        g = self.geometry
+        return zero_recurrent_state(
+            batch, g.padded_height, g.padded_width,
+            num_encoders=self.model.num_encoders,
+            base_channels=self.model.base_channels,
+            recurrent_block=self.model.recurrent_block,
+            dtype=dtype or self.model.dtype,
+        )
+
+    def step(self, params, events: jax.Array, state, *, decode: bool = True):
+        """One reconstruction update: preprocess -> pad -> recurrent forward.
+
+        ``events``: (B, H, W, C) voxel grid for one window.
+        Returns (image (B, Hp, Wp, 1) or None, new_state, latent dict).
+        """
+        x = preprocess_event_tensor(events, normalize=self.normalize, flip=self.flip)
+        x = reflect_pad(x, self.geometry)
+        img, new_state, latent = self.model.apply(
+            {"params": params}, x, state, decode=decode)
+        if decode and self.standardize:
+            lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+            img = (img - lo) / jnp.maximum(hi - lo, 1e-12)
+        return img, new_state, latent
+
+    def rollout(self, params, windows: jax.Array, init_state=None):
+        """Roll T event windows through the recurrent net via ``lax.scan``.
+
+        ``windows``: (B, T, H, W, C). Returns (final_image, final_state,
+        final_latent) — the quantities ESS training consumes
+        (ess_trainer.py:277-285). The first T-1 windows run encoder-only
+        (state update); only the final window pays for the decoder.
+        """
+        b, t = windows.shape[:2]
+        state = self.init_state(b) if init_state is None else init_state
+
+        def body(carry, ev):
+            _, new_state, _ = self.step(params, ev, carry, decode=False)
+            return new_state, None
+
+        if t > 1:
+            xs = jnp.moveaxis(windows[:, :-1], 1, 0)
+            state, _ = jax.lax.scan(body, state, xs)
+        final_img, final_state, final_latent = self.step(
+            params, windows[:, -1], state, decode=True)
+        return final_img, final_state, final_latent
+
+    def rollout_all(self, params, windows: jax.Array, init_state=None):
+        """Like :meth:`rollout` but returns every intermediate image
+        (T, B, Hp, Wp, 1) — the standalone reconstruction CLI's output
+        (run_reconstruction.py:96-110 semantics)."""
+        b = windows.shape[0]
+        state = self.init_state(b) if init_state is None else init_state
+
+        def body(carry, ev):
+            img, new_state, _ = self.step(params, ev, carry)
+            return new_state, img
+
+        xs = jnp.moveaxis(windows, 1, 0)
+        final_state, imgs = jax.lax.scan(body, state, xs)
+        return imgs, final_state
