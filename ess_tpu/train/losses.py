@@ -1,0 +1,98 @@
+"""Segmentation and domain-adaptation losses.
+
+Capability parity with /root/reference/utils/loss_functions.py:
+- ``task_loss`` = dice + cross-entropy with ignore handling (TaskLoss, :6-24)
+- ``symmetric_js_divergence`` (symJSDivLoss, :27-37) including torch
+  KLDivLoss's elementwise-mean reduction and the 1e-10 clamp
+- ``dice_loss`` (DiceLoss/BinaryDiceLoss, :43-135): softmax probs and one-hot
+  targets masked by the ignore mask, per-class dice over the whole batch with
+  smooth=1, averaged over classes
+- ``l1_loss`` (torch.nn.L1Loss used as the cycle-content loss,
+  ess_trainer.py:29)
+
+All take NHWC logits and NHW integer labels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, *, ignore_label: int = 255
+) -> jax.Array:
+    """Mean softmax cross-entropy over non-ignored pixels
+    (torch.nn.CrossEntropyLoss(ignore_index) semantics)."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_label
+    safe_labels = jnp.where(valid, labels, 0)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        log_probs, safe_labels[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def dice_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    num_classes: int,
+    ignore_label: int = 255,
+    smooth: float = 1.0,
+) -> jax.Array:
+    """Multi-class dice with ignore masking (loss_functions.py:107-135).
+
+    Per class c: ``1 - (2*sum(p_c*t_c)+s) / (sum(p_c^2)+sum(t_c^2)+s)`` with
+    sums over every pixel of the batch, then averaged over classes. Both the
+    probabilities and the one-hot targets are zeroed at ignored pixels.
+    """
+    valid = (labels != ignore_label)[..., None]
+    safe_labels = jnp.where(labels == ignore_label, 0, labels)
+    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=logits.dtype) * valid
+    probs = jax.nn.softmax(logits, axis=-1) * valid
+
+    # reduce over batch + spatial dims, keep class axis
+    axes = tuple(range(probs.ndim - 1))
+    num = 2.0 * jnp.sum(probs * one_hot, axis=axes) + smooth
+    den = jnp.sum(probs * probs, axis=axes) + jnp.sum(one_hot * one_hot, axis=axes) + smooth
+    return jnp.mean(1.0 - num / den)
+
+
+def task_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    num_classes: int,
+    ignore_label: int = 255,
+    losses: tuple[str, ...] = ("dice", "cross_entropy"),
+) -> jax.Array:
+    """Configurable sum of dice + CE (TaskLoss, loss_functions.py:6-24)."""
+    total = jnp.float32(0.0)
+    if "dice" in losses:
+        total = total + dice_loss(
+            logits, labels, num_classes=num_classes, ignore_label=ignore_label)
+    if "cross_entropy" in losses:
+        total = total + cross_entropy_loss(logits, labels, ignore_label=ignore_label)
+    return total
+
+
+def symmetric_js_divergence(p_logits: jax.Array, q_logits: jax.Array) -> jax.Array:
+    """0.5*KL(q||p) + 0.5*KL(p||q) over softmaxed logits.
+
+    Mirrors symJSDivLoss (loss_functions.py:27-37) exactly, including torch
+    KLDivLoss's legacy 'mean' reduction (divide by element count, not batch)
+    and the min=1e-10 clamp before the log.
+    """
+    p = jnp.clip(jax.nn.softmax(p_logits, axis=-1), 1e-10, None)
+    q = jnp.clip(jax.nn.softmax(q_logits, axis=-1), 1e-10, None)
+    kl_qp = jnp.mean(q * (jnp.log(q) - jnp.log(p)))  # KLDivLoss(log p, q)
+    kl_pq = jnp.mean(p * (jnp.log(p) - jnp.log(q)))
+    return 0.5 * kl_qp + 0.5 * kl_pq
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Mean absolute error (the cycle-content loss, ess_trainer.py:29)."""
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
