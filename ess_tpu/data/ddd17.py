@@ -1,0 +1,151 @@
+"""DDD17 event dataset (host ingest).
+
+Capability parity with DDD17Events
+(/root/reference/datasets/ddd17_events_loader.py:34-214): 260x346 DAVIS
+sensor, per-directory memmap event store, segmentation_masks/*.png labels
+(already trainIds), fixed train/valid/test directory split (:18-23), windows
+of the last ``nr_events_data * nr_events_window`` events before each label
+(equal-count chunks; searchsorted boundaries in fixed-duration mode,
+:139-149), label resize 346->352 wide and 60-bottom-row crop (:162-173), and
+the optional paired grayscale frame at validation (:187-213).
+
+TPU-first: instead of voxelizing per-chunk on the CPU (:150-166), samples
+carry RAW fixed-capacity event windows (T, N, 4) + validity masks; the
+device pipeline (ess_tpu.data.pipeline) voxelizes/resizes/crops/augments
+on-chip inside the train step's jit.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ess_tpu.data.slicer import DDD17EventStore, pad_windows
+
+SENSOR_SHAPE = (260, 346)
+RESIZED_SHAPE = (200, 352)  # after 60-row crop + width resize
+CROP_SHAPE = (120, 216)
+
+
+def get_split_dirs(dirs: List[str], split: str) -> List[str]:
+    """Fixed directory split (ddd17_events_loader.py:18-23)."""
+    table = {
+        "train": [0, 2, 3, 5, 6],
+        "valid": [1],
+        "test": [4],
+    }
+    return [dirs[i] for i in table[split]]
+
+
+class DDD17Events:
+    """Map-style dataset yielding raw event windows + labels.
+
+    Sample dict:
+      raw_events: (T, N, 4) float32 (x, y, t_rel, p) -- p in {0, 1}
+      valid:      (T, N) bool
+      label:      (200, 352) uint8 trainIds (resized; ignore=255)
+      [image]:    (200, 352, 1) float32 in [0,1] (valid split, paired)
+      [label_original]: (260, 346) uint8
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        nr_events_data: int = 20,
+        nr_events_window: int = 32000,
+        fixed_duration: bool = False,
+        delta_t_per_data: int = 50,
+        require_paired_data: bool = False,
+    ):
+        data_dirs = sorted(glob.glob(os.path.join(root, "dir*")))
+        assert len(data_dirs) > 0, f"no DDD17 'dir*' folders under {root}"
+        assert split in ("train", "valid", "test")
+        self.split = split
+        self.nr_events_data = nr_events_data
+        self.nr_events_window = nr_events_window
+        self.fixed_duration = fixed_duration
+        self.require_paired_data = require_paired_data
+
+        t_interval = nr_events_data * delta_t_per_data if fixed_duration else 50
+        self.dirs = get_split_dirs(data_dirs, split)
+        self.stores: Dict[str, DDD17EventStore] = {
+            d: DDD17EventStore.open(d, t_interval) for d in self.dirs
+        }
+        self.files: List[str] = []
+        for d in self.dirs:
+            self.files += sorted(glob.glob(os.path.join(d, "segmentation_masks", "*.png")))
+        assert self.files, "no segmentation masks found"
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _chunk(self, events: np.ndarray) -> List[np.ndarray]:
+        """Split one big window into T sub-windows (loader :139-149)."""
+        n_loaded = len(events)
+        t_dim = self.nr_events_data
+        chunks = []
+        if self.fixed_duration and n_loaded > 0:
+            t_ns = events[:, 2]
+            delta = (t_ns[-1] - t_ns[0]) / t_dim
+            bounds = [0]
+            for i in range(t_dim):
+                bounds.append(int(np.searchsorted(t_ns, t_ns[0] + (i + 1) * delta)))
+            bounds[-1] = min(bounds[-1], n_loaded)
+            for i in range(t_dim):
+                chunks.append(events[bounds[i]: bounds[i + 1]])
+        else:
+            per = n_loaded // t_dim
+            for i in range(t_dim):
+                end = min((i + 1) * per, n_loaded)
+                chunks.append(events[i * per: end])
+        return chunks
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        mask_file = self.files[idx]
+        directory = os.path.dirname(os.path.dirname(mask_file))
+        img_idx = int(os.path.basename(mask_file).split("_")[-1].split(".")[0]) - 1
+
+        label_original = cv2.imread(mask_file, 0)
+        label = cv2.resize(
+            label_original, (RESIZED_SHAPE[1], RESIZED_SHAPE[0]),
+            interpolation=cv2.INTER_NEAREST)
+
+        store = self.stores[directory]
+        events = store.window_for_image(
+            img_idx, fixed_duration=self.fixed_duration,
+            nr_events=self.nr_events_data * self.nr_events_window)
+        raw, valid = pad_windows(self._chunk(events), self.nr_events_window)
+
+        out = {
+            "raw_events": raw,
+            "valid": valid,
+            "label": label.astype(np.uint8),
+        }
+        if self.split == "valid" and self.require_paired_data:
+            img = self._paired_frame(mask_file)
+            if img is not None:
+                out["image"] = img
+            out["label_original"] = label_original.astype(np.uint8)
+        return out
+
+    def _paired_frame(self, mask_file: str) -> Optional[np.ndarray]:
+        """Grayscale frame matching a validation mask (loader :187-213)."""
+        import cv2
+
+        parts = mask_file.split(os.sep)
+        fid = parts[-1].split("_")[-1]
+        for name in (f"img_{fid}", fid.zfill(14)):
+            candidate = os.sep.join(parts[:-2] + ["imgs", name])
+            if os.path.exists(candidate):
+                img = cv2.imread(candidate, 0)
+                img = cv2.resize(img, (RESIZED_SHAPE[1], 260))
+                img = img[:-60]
+                return (img.astype(np.float32) / 255.0)[..., None]
+        return None

@@ -1,0 +1,185 @@
+"""DSEC-Semantic event dataset (host ingest).
+
+Capability parity with the DSEC DatasetProvider / Sequence pair
+(/root/reference/DSEC/dataset/provider.py:8-62, DSEC/dataset/sequence.py:23-305):
+480x640 sensor, per-sequence events.h5 + rectify_map.h5 + 11/19-class label
+PNGs with timestamps.txt; the fixed zurich_city train/val sequence lists;
+the first ``(250//100+1)*2 = 6`` labels dropped (insufficient event history,
+sequence.py:119-126); label stride 2 (:190-191, :211); fixed-count (last
+20x100k events, split into equal chunks) or fixed-duration window modes
+(:224-279).
+
+TPU-first: samples carry RAW fixed-capacity windows; rectification
+(rectify_map gather) and trilinear voxelization run on-device
+(ess_tpu.ops.batch_voxel). The 40-bottom-row crop / resize / flip also move
+on-device (ess_tpu.data.pipeline).
+
+``SequenceRecurrent`` mirrors sequence_recurrent.py:17-291: consecutive
+non-overlapping event blocks indexed by exposure timestamps for long-horizon
+streaming eval, carrying recurrent state across samples.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ess_tpu.data.slicer import EventSlicer, H5EventStore, events_dict_to_xytp, pad_windows
+
+SENSOR_HEIGHT, SENSOR_WIDTH = 480, 640
+CROP_BOTTOM = 40  # labels are provided at 440x640
+
+TRAIN_SEQUENCES = [
+    "zurich_city_00_a", "zurich_city_01_a", "zurich_city_02_a",
+    "zurich_city_04_a", "zurich_city_05_a", "zurich_city_06_a",
+    "zurich_city_07_a", "zurich_city_08_a",
+]
+VAL_SEQUENCES = ["zurich_city_13_a", "zurich_city_14_c", "zurich_city_15_a"]
+
+
+class DSECSequence:
+    """One recorded sequence: label-aligned raw event windows."""
+
+    def __init__(
+        self,
+        seq_path: str,
+        mode: str = "train",
+        nr_events_data: int = 20,
+        nr_events_window: int = 100000,
+        fixed_duration: bool = False,
+        delta_t_per_data: int = 50,
+        semseg_num_classes: int = 11,
+        remove_time_window: int = 250,
+    ):
+        self.seq_path = seq_path
+        self.mode = mode
+        self.nr_events_data = nr_events_data
+        self.nr_events_window = nr_events_window
+        self.fixed_duration = fixed_duration
+        self.delta_t_us = nr_events_data * delta_t_per_data * 1000
+
+        ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
+        self.timestamps = np.loadtxt(ts_file, dtype="int64")
+        class_dir = {11: "11classes", 19: "19classes"}[semseg_num_classes]
+        label_dir = os.path.join(seq_path, "semantic", class_dir, "data")
+        self.label_files = sorted(glob.glob(os.path.join(label_dir, "*.png")))
+        assert len(self.label_files) == self.timestamps.size
+
+        # not enough event history before the first labels (sequence.py:119-126)
+        skip = (remove_time_window // 100 + 1) * 2
+        self.timestamps = self.timestamps[skip:]
+        self.label_files = self.label_files[skip:]
+
+        ev_dir = os.path.join(seq_path, "events", "left")
+        self.store = H5EventStore(os.path.join(ev_dir, "events.h5"))
+        self.slicer = EventSlicer(self.store)
+        import h5py
+        with h5py.File(os.path.join(ev_dir, "rectify_map.h5"), "r") as f:
+            self.rectify_map = f["rectify_map"][()]  # (480, 640, 2) float32
+
+    def __len__(self) -> int:
+        return (self.timestamps.size + 1) // 2
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        label = cv2.imread(self.label_files[index * 2], 0).astype(np.uint8)
+        ts_end = int(self.timestamps[index * 2])
+
+        t_dim = self.nr_events_data
+        if self.fixed_duration:
+            ts_start = ts_end - self.delta_t_us
+            per_us = self.delta_t_us / t_dim
+            chunks = []
+            for i in range(t_dim):
+                ev = self.slicer.get_events(
+                    int(ts_start + i * per_us), int(ts_start + (i + 1) * per_us))
+                chunks.append(events_dict_to_xytp(ev) if ev is not None
+                              else np.zeros((0, 4)))
+        else:
+            ev = self.slicer.get_events_fixed_num(
+                ts_end, t_dim * self.nr_events_window)
+            events = events_dict_to_xytp(ev)
+            per = len(events) // t_dim
+            chunks = [events[i * per: (i + 1) * per] for i in range(t_dim)]
+
+        raw, valid = pad_windows(chunks, self.nr_events_window)
+        return {"raw_events": raw, "valid": valid, "label": label}
+
+
+class DSECEvents:
+    """Concatenation of the fixed train or val sequence lists
+    (provider.py:22-50 and DSEC_events_loader.py:14-42)."""
+
+    def __init__(self, dataset_path: str, mode: str = "train", **seq_kw):
+        sub = "train" if mode == "train" else "test"
+        names = TRAIN_SEQUENCES if mode == "train" else VAL_SEQUENCES
+        base = os.path.join(dataset_path, sub)
+        self.sequences: List[DSECSequence] = []
+        for child in sorted(os.listdir(base)):
+            if any(k in child for k in names):
+                self.sequences.append(
+                    DSECSequence(os.path.join(base, child), mode=mode, **seq_kw))
+        assert self.sequences, f"no DSEC sequences found under {base}"
+        self._offsets = np.cumsum([0] + [len(s) for s in self.sequences])
+
+    @property
+    def rectify_map(self) -> np.ndarray:
+        return self.sequences[0].rectify_map
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        seq_i = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        sample = self.sequences[seq_i][idx - int(self._offsets[seq_i])]
+        sample["sequence"] = np.int32(seq_i)
+        return sample
+
+
+class SequenceRecurrent:
+    """Streaming variant: consecutive non-overlapping fixed-count event
+    blocks over a whole sequence (sequence_recurrent.py:17-291 semantics) for
+    long-horizon eval with carried ConvLSTM state.
+
+    Each item is ONE window (T=1); ``is_first`` marks sequence starts where
+    the consumer must reset recurrent state. Labels attach to windows whose
+    end index aligns with a labeled timestamp (val mode).
+    """
+
+    def __init__(self, seq: DSECSequence, nr_events_window: int = 100000):
+        self.seq = seq
+        self.nr_events_window = nr_events_window
+        n_events = len(seq.store)
+        self.n_windows = n_events // nr_events_window
+        # event index of each labeled timestamp
+        self.label_idx = {}
+        for li in range(len(seq.timestamps)):
+            idx = seq.slicer.index_of_time(int(seq.timestamps[li]))
+            if idx is not None:
+                self.label_idx[idx // nr_events_window] = li
+
+    def __len__(self) -> int:
+        return self.n_windows
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        ev = self.seq.slicer.get_events_fixed_num_recurrent(
+            i * self.nr_events_window, (i + 1) * self.nr_events_window)
+        raw, valid = pad_windows([events_dict_to_xytp(ev)], self.nr_events_window)
+        out = {
+            "raw_events": raw,
+            "valid": valid,
+            "is_first": np.bool_(i == 0),
+        }
+        li = self.label_idx.get(i)
+        if li is not None:
+            out["label"] = cv2.imread(self.seq.label_files[li], 0).astype(np.uint8)
+            out["has_label"] = np.bool_(True)
+        else:
+            out["has_label"] = np.bool_(False)
+        return out

@@ -1,0 +1,148 @@
+"""Batching, shuffling, dual-domain pairing, and device prefetch.
+
+Replaces the reference's torch DataLoader + WrapperDataset combination
+(training/base_trainer.py:275-359, datasets/wrapper_dataloader.py:4-111):
+
+- ``BatchLoader``: map-style dataset -> shuffled, drop-last batches, with a
+  thread pool for parallel ``__getitem__`` (numpy/h5py release the GIL on IO
+  and memcpy, so threads scale like the reference's worker processes without
+  the pickling overhead).
+- ``PairedLoader``: iterates the longer of two loaders, restarting the
+  shorter one on exhaustion — WrapperDataset's pairing rule
+  (wrapper_dataloader.py:33-63).
+- ``prefetch_to_device``: double-buffered host->HBM pipeline; the next batch
+  is transferred (and optionally sharded across the mesh) while the current
+  step runs, so ingest never stalls the TPU.
+- Multi-host: each process constructs its loader over a disjoint index shard
+  (``shard_index``/``num_shards``) — global-batch data parallelism.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples: list) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        out[key] = np.stack(vals) if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) else vals
+    return out
+
+
+class BatchLoader:
+    """Shuffled, drop-last batch iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 6,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.rng = np.random.default_rng(seed)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx[self.shard_index:: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        n_batches = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(n_batches):
+                chunk = idx[b * self.batch_size: (b + 1) * self.batch_size]
+                samples = list(pool.map(self.dataset.__getitem__, chunk))
+                yield _collate(samples)
+
+
+class PairedLoader:
+    """Pairs a sensor-A and a sensor-B loader into one stream.
+
+    Iterates for ``max(len(a), len(b))`` steps; the shorter loader restarts
+    when exhausted (wrapper_dataloader.py:43-63). Yields (batch_a, batch_b).
+    """
+
+    def __init__(self, loader_a, loader_b):
+        self.loader_a = loader_a
+        self.loader_b = loader_b
+
+    def __len__(self) -> int:
+        return max(len(self.loader_a), len(self.loader_b))
+
+    def __iter__(self):
+        it_a, it_b = iter(self.loader_a), iter(self.loader_b)
+        for _ in range(len(self)):
+            try:
+                a = next(it_a)
+            except StopIteration:
+                it_a = iter(self.loader_a)
+                a = next(it_a)
+            try:
+                b = next(it_b)
+            except StopIteration:
+                it_b = iter(self.loader_b)
+                b = next(it_b)
+            yield a, b
+
+
+def prefetch_to_device(iterator, *, size: int = 2, sharding=None):
+    """Double-buffered host->device prefetch.
+
+    Wraps any batch iterator: a background thread moves the next ``size``
+    batches to the device (optionally with a NamedSharding for DP) while the
+    TPU computes on the current one.
+    """
+    import jax
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(put(item))
+        except BaseException as e:  # surface worker errors to the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

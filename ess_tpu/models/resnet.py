@@ -64,28 +64,33 @@ class ResNet18Encoder(nn.Module):
 
     dtype: Dtype = jnp.float32
     skip_connect: bool = True
+    # Width of layer1; layers scale (1x, 2x, 4x). 64 is torchvision's
+    # resnet18; the builder sets 2*e2vid_base so the multi-scale channel
+    # counts always match the E2VID latent the head was built for.
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[int, jax.Array]:
         out: Dict[int, jax.Array] = {1: x}
+        w = self.base_width
         h = x.astype(self.dtype)
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        h = nn.Conv(w, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="stem_conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(h)
         h = nn.relu(h)
-        # layer1: 2 blocks @ 64ch, stride 1 (scale 2)
-        h = BasicBlock(64, dtype=self.dtype, name="layer1_0")(h, train=train)
-        h = BasicBlock(64, dtype=self.dtype, name="layer1_1")(h, train=train)
+        # layer1: 2 blocks @ base_width, stride 1 (scale 2)
+        h = BasicBlock(w, dtype=self.dtype, name="layer1_0")(h, train=train)
+        h = BasicBlock(w, dtype=self.dtype, name="layer1_1")(h, train=train)
         if self.skip_connect:
             out[2] = h
-        # layer2: 2 blocks @ 128ch, first stride 2 (scale 4)
-        h = BasicBlock(128, strides=2, dtype=self.dtype, name="layer2_0")(h, train=train)
-        h = BasicBlock(128, dtype=self.dtype, name="layer2_1")(h, train=train)
+        # layer2: 2 blocks @ 2*base_width, first stride 2 (scale 4)
+        h = BasicBlock(2 * w, strides=2, dtype=self.dtype, name="layer2_0")(h, train=train)
+        h = BasicBlock(2 * w, dtype=self.dtype, name="layer2_1")(h, train=train)
         if self.skip_connect:
             out[4] = h
-        # layer3: 2 blocks @ 256ch, first stride 2 (scale 8)
-        h = BasicBlock(256, strides=2, dtype=self.dtype, name="layer3_0")(h, train=train)
-        h = BasicBlock(256, dtype=self.dtype, name="layer3_1")(h, train=train)
+        # layer3: 2 blocks @ 4*base_width, first stride 2 (scale 8)
+        h = BasicBlock(4 * w, strides=2, dtype=self.dtype, name="layer3_0")(h, train=train)
+        h = BasicBlock(4 * w, dtype=self.dtype, name="layer3_1")(h, train=train)
         out[8] = h
         return out

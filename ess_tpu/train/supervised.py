@@ -1,0 +1,93 @@
+"""Supervised ESS training: frozen E2VID front-end + trainable seg head.
+
+Capability parity with ESSSupervisedModel
+(/root/reference/training/ess_supervised_trainer.py:21-336): a 20-window
+recurrent rollout through the frozen E2VID (task_train_step :111-152 with the
+latent detach at :145-146), dice+CE task loss on event labels, a single RAdam
+on the head (:63-75), and confusion-matrix validation on sensor B (:172-292).
+
+TPU-first: the whole step — rollout (lax.scan), head forward, loss, backward,
+RAdam update — is ONE jitted function with a donated TrainState; the frozen
+backbone runs under stop_gradient so XLA stores no rollout activations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ess_tpu.ops.resize import resize_nearest
+from ess_tpu.train.builder import ESSModules
+from ess_tpu.train.losses import task_loss
+from ess_tpu.train.metrics import confusion_matrix
+from ess_tpu.train.state import TrainState, apply_updates
+
+
+def make_train_step(mods: ESSModules) -> Callable:
+    """Build the jitted supervised train step.
+
+    batch: {"events": (B, T, H, W, C), "label": (B, H, W) int}
+    returns (new_state, {"loss": ..., "semseg_sensor_b_loss": ...}).
+    """
+    cfg = mods.cfg
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        windows = batch["events"]
+        labels = batch["label"]
+
+        _, _, latent = mods.recon_train.rollout(state.e2vid_params, windows)
+        latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
+
+        def loss_fn(back_params):
+            preds = mods.head.apply({"params": back_params}, latent)
+            loss = task_loss(
+                preds[1], labels,
+                num_classes=cfg.task.semseg_num_classes,
+                ignore_label=cfg.task.semseg_ignore_label,
+                losses=cfg.optim.task_loss,
+            ) * cfg.optim.weight_task_loss
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.back_params)
+        new_back, new_opt = apply_updates(
+            state.back_params, grads, mods.opt_back, state.opt_back)
+        new_state = state.replace(
+            step=state.step + 1, back_params=new_back, opt_back=new_opt)
+        return new_state, {"loss": loss, "semseg_sensor_b_loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(mods: ESSModules) -> Callable:
+    """Build the jitted eval step: rollout at val resolution, head forward,
+    nearest-upsample logits to the label resolution, loss + on-device
+    confusion matrix (ess_supervised_trainer.py:219-256 semantics)."""
+    cfg = mods.cfg
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        windows = batch["events"]
+        labels = batch["label"]
+
+        img_fake, _, latent = mods.recon_val.rollout(state.e2vid_params, windows)
+        preds = mods.head.apply({"params": state.back_params}, latent)
+        logits = preds[1]
+        lh, lw = labels.shape[1], labels.shape[2]
+        if (logits.shape[1], logits.shape[2]) != (lh, lw):
+            logits = resize_nearest(logits, lh, lw)
+        loss = task_loss(
+            logits, labels,
+            num_classes=cfg.task.semseg_num_classes,
+            ignore_label=cfg.task.semseg_ignore_label,
+            losses=cfg.optim.task_loss,
+        ) * cfg.optim.weight_task_loss
+        pred_lbl = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(
+            pred_lbl, labels,
+            num_classes=cfg.task.semseg_num_classes,
+            ignore_label=cfg.task.semseg_ignore_label,
+        )
+        return {"loss": loss, "cm": cm, "pred": pred_lbl, "img_fake": img_fake}
+
+    return jax.jit(step)

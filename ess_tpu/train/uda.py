@@ -1,0 +1,229 @@
+"""ESS UDA training: image encoder <-> event embedding alignment.
+
+Capability parity with ESSModel (/root/reference/training/ess_trainer.py):
+
+- ``img_train_step`` (:150-194): task loss on labeled images; on DSEC the
+  image features are detached so only the head learns from images.
+- ``event_train_step`` (:257-301): frozen E2VID rollout -> reconstructed
+  frame through the image encoder; ``trainCycleStep`` (:211-255) aligns
+  latents {2,4,8} (L1 x weight_cycle_emb) and prediction dicts (symJS at 1x —
+  counted only for DSEC — plus L1 at 2x/4x x weight_cycle_task) with the head
+  frozen, training ONLY the image encoder; ``TasktrainCycleStep`` (:303-330)
+  trains ONLY the head on the event branch against the no-grad image branch
+  (symJS x weight_cycle_pred + L1 x weight_cycle_task), plus an optional
+  supervised event task loss (train_on_event_labels, :297-299).
+- Both optimizers step once on the accumulated grads (:144-146).
+
+TPU-first: the reference's freeze/unfreeze + serialized ``.backward()``
+choreography (:118-126, :133-138) is replaced by ONE scalar loss whose
+``stop_gradient`` placement reproduces the same per-parameter gradients
+(frozen submodule == stop_gradient on its params inside that term; detached
+tensor == stop_gradient on the activation), so the whole step is a single
+``jax.value_and_grad`` over (front_params, back_params) inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ess_tpu.ops.resize import resize_nearest
+from ess_tpu.train.builder import ESSModules
+from ess_tpu.train.losses import l1_loss, symmetric_js_divergence, task_loss
+from ess_tpu.train.metrics import confusion_matrix
+from ess_tpu.train.state import TrainState, apply_updates
+
+sg = jax.lax.stop_gradient
+
+
+def _cycle_latent_loss(latent_fake, latent_real, *, skip_connect_encoder, weight, losses, prefix):
+    """L1 alignment of multi-scale latents (trainCycleStep :216-229)."""
+    total = jnp.float32(0.0)
+    scales = (2, 4, 8) if skip_connect_encoder else (8,)
+    for s in scales:
+        l = l1_loss(latent_fake[s], latent_real[s]) * weight
+        losses[f"cycle_latent_{s}x_{prefix}_loss"] = l
+        total = total + l
+    return total
+
+
+def make_train_step(mods: ESSModules) -> Callable:
+    """Build the jitted UDA train step.
+
+    batch: {"image_a": (B,H,W,1), "label_a": (B,H,W),
+            "events_b": (B,T,h,w,C), optional "label_b": (B,h,w)}
+    """
+    cfg = mods.cfg
+    is_dsec = cfg.dataset.sensor_b.name.startswith("DSEC")
+    w = cfg.optim
+    num_classes = cfg.task.semseg_num_classes
+    ignore = cfg.task.semseg_ignore_label
+
+    def tloss(logits, labels):
+        return task_loss(logits, labels, num_classes=num_classes,
+                         ignore_label=ignore, losses=w.task_loss)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        img_a, labels_a = batch["image_a"], batch["label_a"]
+        windows_b = batch["events_b"]
+        labels_b = batch.get("label_b")
+
+        # Frozen recurrent reconstruction (no activations kept).
+        img_fake, _, latent_real = mods.recon_train.rollout(
+            state.e2vid_params, windows_b)
+        img_fake = sg(img_fake)
+        latent_real = jax.tree.map(sg, latent_real)
+
+        def loss_fn(front_params, back_params, batch_stats):
+            losses: Dict[str, jax.Array] = {}
+
+            # ---------------- image branch (img_train_step) ----------------
+            latent_a, mut = mods.front_a.apply(
+                {"params": front_params, "batch_stats": batch_stats},
+                img_a, train=True, mutable=["batch_stats"])
+            content_a = jax.tree.map(sg, latent_a) if is_dsec else latent_a
+            pred_a = mods.head.apply({"params": back_params}, content_a)
+            t_img = tloss(pred_a[1], labels_a) * w.weight_task_loss
+            losses["semseg_sensor_a_loss"] = t_img
+
+            # ---------------- event branch ----------------
+            latent_fake, mut2 = mods.front_a.apply(
+                {"params": front_params, "batch_stats": mut["batch_stats"]},
+                img_fake, train=True, mutable=["batch_stats"])
+
+            # e-loss: trains the image encoder only (head frozen,
+            # ess_trainer.py:133-137).
+            back_frozen = jax.tree.map(sg, back_params)
+            e_loss = _cycle_latent_loss(
+                latent_fake, latent_real,
+                skip_connect_encoder=cfg.model.skip_connect_encoder,
+                weight=w.weight_cycle_emb_loss, losses=losses,
+                prefix="sensor_b_to_sensor_a")
+            pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
+            pred_real_ng = jax.tree.map(
+                sg, mods.head.apply({"params": back_frozen}, latent_real))
+            sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
+            losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
+            if is_dsec:  # only DSEC adds the 1x symJS to e-loss (:240-241)
+                e_loss = e_loss + sym_1x
+            for s in (2, 4):
+                l = l1_loss(pred_fake_fr[s], pred_real_ng[s]) * w.weight_cycle_task_loss
+                losses[f"cycle_pred_{s}x_sensor_b_to_sensor_a_loss"] = l
+                e_loss = e_loss + l
+
+            # t-loss: trains the head only (TasktrainCycleStep; latent_real is
+            # stop-gradient so no path to the encoder).
+            pred_real = mods.head.apply({"params": back_params}, latent_real)
+            pred_fake_ng = jax.tree.map(sg, pred_fake_fr)
+            t_ev = symmetric_js_divergence(
+                pred_real[1], pred_fake_ng[1]) * w.weight_cycle_pred_loss
+            for s in (2, 4):
+                t_ev = t_ev + l1_loss(pred_real[s], pred_fake_ng[s]) * w.weight_cycle_task_loss
+            if cfg.model.train_on_event_labels and labels_b is not None:
+                t_b = tloss(pred_real[1], labels_b) * w.weight_task_loss
+                losses["semseg_sensor_b_loss"] = t_b
+                t_ev = t_ev + t_b
+
+            total = t_img + e_loss + t_ev
+            losses["loss"] = total
+            return total, (losses, mut2["batch_stats"])
+
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.front_params, state.back_params, state.front_batch_stats)
+        g_front, g_back = grads
+
+        new_front, new_opt_front = apply_updates(
+            state.front_params, g_front, mods.opt_front, state.opt_front)
+        new_back, new_opt_back = apply_updates(
+            state.back_params, g_back, mods.opt_back, state.opt_back)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            front_params=new_front, front_batch_stats=new_stats,
+            back_params=new_back,
+            opt_front=new_opt_front, opt_back=new_opt_back,
+        )
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step_a(mods: ESSModules) -> Callable:
+    """Sensor-A (image) validation: encoder (BN eval) -> head -> loss + cm
+    (valTaskStep, ess_trainer.py:476-493)."""
+    cfg = mods.cfg
+
+    def step(state: TrainState, batch):
+        img, labels = batch["image"], batch["label"]
+        latent = mods.front_a.apply(
+            {"params": state.front_params, "batch_stats": state.front_batch_stats},
+            img, train=False)
+        preds = mods.head.apply({"params": state.back_params}, latent)
+        loss = task_loss(
+            preds[1], labels, num_classes=cfg.task.semseg_num_classes,
+            ignore_label=cfg.task.semseg_ignore_label, losses=cfg.optim.task_loss,
+        ) * cfg.optim.weight_task_loss
+        pred_lbl = jnp.argmax(preds[1], axis=-1)
+        cm = confusion_matrix(pred_lbl, labels,
+                              num_classes=cfg.task.semseg_num_classes,
+                              ignore_label=cfg.task.semseg_ignore_label)
+        return {"semseg_sensor_a_loss": loss, "cm_a": cm, "pred": pred_lbl}
+
+    return jax.jit(step)
+
+
+def make_eval_step_b(mods: ESSModules) -> Callable:
+    """Sensor-B (event) validation incl. the cycle branch
+    (val_step/valTaskStep/valCycleStep, ess_trainer.py:424-544):
+    rollout -> head -> nearest-upsampled prediction vs event labels, plus the
+    E2VID-reconstruction branch scored separately (metrics_semseg_cycle)."""
+    cfg = mods.cfg
+    num_classes = cfg.task.semseg_num_classes
+    ignore = cfg.task.semseg_ignore_label
+
+    def tloss(logits, labels):
+        return task_loss(logits, labels, num_classes=num_classes,
+                         ignore_label=ignore, losses=cfg.optim.task_loss)
+
+    def step(state: TrainState, batch):
+        windows, labels = batch["events"], batch["label"]
+        out: Dict[str, jax.Array] = {}
+
+        img_fake, _, latent_ev = mods.recon_val.rollout(state.e2vid_params, windows)
+        preds_ev = mods.head.apply({"params": state.back_params}, latent_ev)
+        lh, lw = labels.shape[1], labels.shape[2]
+        logits_ev = resize_nearest(preds_ev[1], lh, lw)
+        out["semseg_sensor_b_loss"] = tloss(logits_ev, labels) * cfg.optim.weight_task_loss
+        pred_ev = jnp.argmax(logits_ev, axis=-1)
+        out["cm_b"] = confusion_matrix(pred_ev, labels,
+                                       num_classes=num_classes, ignore_label=ignore)
+
+        # cycle branch: reconstruction -> image encoder -> head
+        latent_fake = mods.front_a.apply(
+            {"params": state.front_params, "batch_stats": state.front_batch_stats},
+            img_fake, train=False)
+        scales = (2, 4, 8) if cfg.model.skip_connect_encoder else (8,)
+        for s in scales:
+            out[f"cycle_latent_{s}x_sensor_b_to_sensor_a_loss"] = (
+                l1_loss(latent_ev[s], latent_fake[s]) * cfg.optim.weight_cycle_emb_loss)
+        preds_cycle = mods.head.apply({"params": state.back_params}, latent_fake)
+        logits_cycle = resize_nearest(preds_cycle[1], lh, lw)
+        out["semseg_sensor_b_to_sensor_a_loss"] = (
+            tloss(logits_cycle, labels) * cfg.optim.weight_task_loss)
+        pred_cycle = jnp.argmax(logits_cycle, axis=-1)
+        out["cm_cycle"] = confusion_matrix(pred_cycle, labels,
+                                           num_classes=num_classes, ignore_label=ignore)
+        out["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = (
+            symmetric_js_divergence(preds_cycle[1], preds_ev[1])
+            * cfg.optim.weight_cycle_pred_loss)
+        for s in (2, 4):
+            out[f"cycle_pred_{s}x_sensor_b_to_sensor_a_loss"] = (
+                l1_loss(preds_ev[s], preds_cycle[s]) * cfg.optim.weight_cycle_task_loss)
+        out["pred"] = pred_ev
+        out["img_fake"] = img_fake
+        return out
+
+    return jax.jit(step)
