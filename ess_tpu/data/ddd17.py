@@ -24,6 +24,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ess_tpu.data import native
 from ess_tpu.data.slicer import DDD17EventStore, pad_windows
 
 SENSOR_SHAPE = (260, 346)
@@ -84,26 +85,30 @@ class DDD17Events:
     def __len__(self) -> int:
         return len(self.files)
 
-    def _chunk(self, events: np.ndarray) -> List[np.ndarray]:
-        """Split one big window into T sub-windows (loader :139-149)."""
-        n_loaded = len(events)
+    def _chunk_bounds(self, store: DDD17EventStore, img_idx: int):
+        """Global [start, end) event-index bounds for the T sub-windows
+        (loader :139-149): equal counts by default, searchsorted over uniform
+        time deltas in fixed-duration mode."""
+        row = store.img_index[img_idx]
+        end = int(row[1])
         t_dim = self.nr_events_data
-        chunks = []
-        if self.fixed_duration and n_loaded > 0:
-            t_ns = events[:, 2]
-            delta = (t_ns[-1] - t_ns[0]) / t_dim
-            bounds = [0]
-            for i in range(t_dim):
-                bounds.append(int(np.searchsorted(t_ns, t_ns[0] + (i + 1) * delta)))
-            bounds[-1] = min(bounds[-1], n_loaded)
-            for i in range(t_dim):
-                chunks.append(events[bounds[i]: bounds[i + 1]])
-        else:
-            per = n_loaded // t_dim
-            for i in range(t_dim):
-                end = min((i + 1) * per, n_loaded)
-                chunks.append(events[i * per: end])
-        return chunks
+        if self.fixed_duration:
+            start = max(int(row[2]), 0)
+            t_slice = np.asarray(store.t[start:end], np.int64)
+            if len(t_slice) == 0:
+                starts = ends = np.full(t_dim, start, np.int64)
+                return starts, ends
+            delta = (t_slice[-1] - t_slice[0]) / t_dim
+            queries = (t_slice[0] + delta * np.arange(1, t_dim + 1)).astype(np.int64)
+            bounds = np.concatenate(
+                [[0], np.searchsorted(t_slice, queries, side="left")])
+            bounds = np.minimum(bounds, len(t_slice))
+            return start + bounds[:-1], start + bounds[1:]
+        start = max(end - t_dim * self.nr_events_window, 0)
+        per = (end - start) // t_dim
+        starts = start + per * np.arange(t_dim, dtype=np.int64)
+        ends = np.minimum(starts + per, end)
+        return starts, ends
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         import cv2
@@ -118,10 +123,9 @@ class DDD17Events:
             interpolation=cv2.INTER_NEAREST)
 
         store = self.stores[directory]
-        events = store.window_for_image(
-            img_idx, fixed_duration=self.fixed_duration,
-            nr_events=self.nr_events_data * self.nr_events_window)
-        raw, valid = pad_windows(self._chunk(events), self.nr_events_window)
+        starts, ends = self._chunk_bounds(store, img_idx)
+        raw, valid = native.pad_windows_ddd17(
+            store.t, store.xyp, starts, ends, self.nr_events_window)
 
         out = {
             "raw_events": raw,

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native host-ingest kernels (native/ess_host.cpp).
+
+Builds the shared library on first use (g++ -O3, cached next to the source)
+and exposes numpy-friendly wrappers. Every entry point has a pure-numpy
+fallback, so the framework runs even without a compiler — the native path
+just makes host ingest keep up with the TPU.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "ess_host.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libess_host.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    src = os.path.abspath(_SRC)
+    lib = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib, src],
+                check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            _build_failed = True
+            return None
+    cdll = ctypes.CDLL(lib)
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    c_i64 = ctypes.c_int64
+
+    cdll.lower_bound_i64.argtypes = [i64p, c_i64, c_i64]
+    cdll.lower_bound_i64.restype = c_i64
+    cdll.searchsorted_i64.argtypes = [i64p, c_i64, i64p, c_i64, i64p]
+    cdll.pad_windows_i16.argtypes = [i64p, i16p, c_i64, i64p, i64p, c_i64,
+                                     c_i64, f32p, u8p]
+    cdll.pad_windows_f64.argtypes = [f64p, i64p, i64p, c_i64, c_i64, f32p, u8p]
+    return cdll
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        with _lock:
+            if _lib is None and not _build_failed:
+                _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def searchsorted_i64(t: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """First index with t[i] >= q for each query (t sorted int64)."""
+    lib = get_lib()
+    t = np.ascontiguousarray(t, np.int64)
+    q = np.ascontiguousarray(queries, np.int64)
+    if lib is None:
+        return np.searchsorted(t, q, side="left").astype(np.int64)
+    out = np.empty(len(q), np.int64)
+    lib.searchsorted_i64(t, len(t), q, len(q), out)
+    return out
+
+
+def pad_windows_from_bounds(
+    events_f64: np.ndarray, starts: np.ndarray, ends: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather-pad (N, 4) float64 events into (T, cap, 4) f32 + (T, cap) bool
+    given per-window [start, end) index bounds."""
+    lib = get_lib()
+    t_dim = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    if lib is not None:
+        ev = np.ascontiguousarray(events_f64, np.float64)
+        out = np.empty((t_dim, capacity, 4), np.float32)
+        valid = np.empty((t_dim, capacity), np.uint8)
+        lib.pad_windows_f64(ev, starts, ends, t_dim, capacity, out, valid)
+        return out, valid.astype(bool)
+    # numpy fallback
+    from ess_tpu.data.slicer import pad_windows
+    chunks = [events_f64[s:e] for s, e in zip(starts, ends)]
+    return pad_windows(chunks, capacity)
+
+
+def pad_windows_ddd17(
+    t: np.ndarray, xyp: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    capacity: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather-pad directly from the DDD17 memmap layout (int64 t + int16
+    xyp), skipping the intermediate float64 assembly entirely."""
+    lib = get_lib()
+    t_dim = len(starts)
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    # Materialize only the touched region of the (potentially huge) memmaps.
+    lo = int(starts.min()) if t_dim else 0
+    hi = int(ends.max()) if t_dim else 0
+    if lib is not None:
+        tt = np.ascontiguousarray(t[lo:hi], np.int64)
+        xx = np.ascontiguousarray(xyp[lo:hi], np.int16)
+        out = np.empty((t_dim, capacity, 4), np.float32)
+        valid = np.empty((t_dim, capacity), np.uint8)
+        lib.pad_windows_i16(tt, xx, hi - lo,
+                            np.ascontiguousarray(starts - lo),
+                            np.ascontiguousarray(ends - lo),
+                            t_dim, capacity, out, valid)
+        return out, valid.astype(bool)
+    t_region = np.asarray(t[lo:hi], np.int64)
+    xyp_region = np.asarray(xyp[lo:hi], np.int64)
+    ev = np.concatenate(
+        [xyp_region[:, :2].astype(np.float64),
+         t_region[:, None].astype(np.float64),
+         xyp_region[:, 2:3].astype(np.float64)], axis=1)
+    from ess_tpu.data.slicer import pad_windows
+    chunks = [ev[s - lo: e - lo] for s, e in zip(starts, ends)]
+    return pad_windows(chunks, capacity)

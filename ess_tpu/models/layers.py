@@ -65,11 +65,12 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        pad = self.kernel_size // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=self.norm != "BN",
             dtype=self.dtype,
         )(x)
@@ -135,10 +136,11 @@ class UpsampleConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = upsample2x_bilinear(x)
+        pad = self.kernel_size // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=self.norm != "BN",
             dtype=self.dtype,
         )(x)

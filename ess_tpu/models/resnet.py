@@ -36,11 +36,12 @@ class BasicBlock(nn.Module):
         needs_proj = self.strides != 1 or x.shape[-1] != self.features
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
@@ -74,7 +75,7 @@ class ResNet18Encoder(nn.Module):
         out: Dict[int, jax.Array] = {1: x}
         w = self.base_width
         h = x.astype(self.dtype)
-        h = nn.Conv(w, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        h = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="stem_conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(h)

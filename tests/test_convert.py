@@ -1,0 +1,115 @@
+"""Activation-level parity: torch reference models vs converted flax models.
+
+Builds the reference torch architectures (random weights), converts the
+state_dicts with ess_tpu.io.convert, and checks forward outputs match —
+the strongest guarantee that real E2VID/ResNet18 checkpoints behave
+identically after conversion (SURVEY.md section 7 build step 3).
+"""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+
+from ess_tpu.io.convert import load_resnet18_torch, strip_module_prefix  # noqa: E402
+from ess_tpu.models import RecurrentUNet, ResNet18Encoder, zero_recurrent_state  # noqa: E402
+
+
+def _convert_e2vid_state_dict(sd, num_encoders=3, num_resblocks=2):
+    """Run the converter's mapping on an in-memory state dict."""
+    import ess_tpu.io.convert as C
+    raw = {"state_dict": {f"unetrecurrent.{k}": v for k, v in sd.items()},
+           "model": {"num_encoders": num_encoders,
+                     "num_residual_blocks": num_resblocks}}
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.pth.tar")
+        torch.save(raw, path)
+        params, config = C.load_e2vid_checkpoint(path)
+    return params, config
+
+
+@pytest.mark.parametrize("hw", [(32, 40)])
+def test_e2vid_activation_parity(hw):
+    from e2vid.model.unet import UNetRecurrent
+
+    torch.manual_seed(0)
+    h, w = hw
+    tmodel = UNetRecurrent(
+        num_input_channels=5, num_output_channels=1, skip_type="sum",
+        recurrent_block_type="convlstm", activation="sigmoid",
+        num_encoders=3, base_num_channels=32, num_residual_blocks=2,
+        norm=None, use_upsample_conv=True).eval()
+
+    params, _ = _convert_e2vid_state_dict(tmodel.state_dict())
+
+    model = RecurrentUNet(base_channels=32, num_encoders=3)
+    x = np.random.default_rng(0).normal(size=(2, 5, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        timg1, tstates, tlat = tmodel(torch.from_numpy(x), None)
+        timg2, _, _ = tmodel(torch.from_numpy(x), tstates)
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    states = zero_recurrent_state(2, h, w, num_encoders=3, base_channels=32)
+    img1, new_states, lat = model.apply({"params": params}, x_nhwc, states)
+    img2, _, _ = model.apply({"params": params}, x_nhwc, new_states)
+
+    np.testing.assert_allclose(
+        np.asarray(img1)[..., 0], timg1.numpy()[:, 0], atol=2e-5)
+    # latent dict parity at every scale (NCHW vs NHWC)
+    for scale in (1, 2, 4, 8):
+        np.testing.assert_allclose(
+            np.asarray(lat[scale]).transpose(0, 3, 1, 2),
+            tlat[scale].numpy(), atol=2e-5,
+            err_msg=f"latent scale {scale}")
+    # recurrence parity (state carried one step)
+    np.testing.assert_allclose(
+        np.asarray(img2)[..., 0], timg2.numpy()[:, 0], atol=5e-5)
+
+
+def test_resnet18_conversion_parity():
+    import torchvision
+
+    torch.manual_seed(0)
+    tnet = torchvision.models.resnet18(weights=None).eval()
+
+    enc = ResNet18Encoder()
+    import jax
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    params, stats = load_resnet18_torch(
+        tnet.state_dict(), variables["params"], variables["batch_stats"],
+        adapt_stem=True)
+
+    x = np.random.default_rng(1).normal(size=(2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        h = torch.nn.functional.conv2d(
+            torch.from_numpy(x), tnet.conv1.weight.mean(1, keepdim=True),
+            stride=2, padding=3)
+        h = torch.relu(tnet.bn1(h))
+        h = tnet.layer1(h)
+        t2 = h
+        h = tnet.layer2(h)
+        t4 = h
+        h = tnet.layer3(h)
+        t8 = h
+
+    out = enc.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out[2]).transpose(0, 3, 1, 2), t2.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out[4]).transpose(0, 3, 1, 2), t4.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out[8]).transpose(0, 3, 1, 2), t8.numpy(), atol=2e-4)
+
+
+def test_strip_module_prefix():
+    sd = {"module.a.weight": 1, "b.bias": 2}
+    out = strip_module_prefix(sd)
+    assert out == {"a.weight": 1, "b.bias": 2}

@@ -1,0 +1,57 @@
+"""Tests for the native C++ host-ingest kernels (with numpy-fallback parity)."""
+
+import numpy as np
+import pytest
+
+from ess_tpu.data import native
+from ess_tpu.data.slicer import pad_windows
+
+
+def test_native_builds():
+    assert native.available(), "g++ build of native/ess_host.cpp failed"
+
+
+def test_searchsorted_matches_numpy(rng):
+    t = np.sort(rng.integers(0, 10_000, 500)).astype(np.int64)
+    q = rng.integers(-10, 10_010, 64).astype(np.int64)
+    got = native.searchsorted_i64(t, q)
+    np.testing.assert_array_equal(got, np.searchsorted(t, q, side="left"))
+
+
+def test_pad_windows_f64_matches_python(rng):
+    n = 300
+    ev = np.stack([
+        rng.integers(0, 64, n), rng.integers(0, 48, n),
+        np.sort(rng.integers(0, 100000, n)), rng.integers(0, 2, n),
+    ], axis=1).astype(np.float64)
+    starts = np.array([0, 100, 250], np.int64)
+    ends = np.array([100, 250, 300], np.int64)
+    got, gvalid = native.pad_windows_from_bounds(ev, starts, ends, capacity=160)
+    ref, rvalid = pad_windows([ev[s:e] for s, e in zip(starts, ends)], 160)
+    np.testing.assert_allclose(got, ref)
+    np.testing.assert_array_equal(gvalid, rvalid)
+
+
+def test_pad_windows_f64_overflow_tail(rng):
+    n = 50
+    ev = np.stack([np.arange(n)] * 4, axis=1).astype(np.float64)
+    got, valid = native.pad_windows_from_bounds(
+        ev, np.array([0], np.int64), np.array([50], np.int64), capacity=8)
+    np.testing.assert_allclose(got[0, :, 0], np.arange(42, 50))
+    assert valid.all()
+
+
+def test_pad_windows_ddd17_layout(rng):
+    n = 200
+    t = np.sort(rng.integers(0, 10**12, n)).astype(np.int64)
+    xyp = np.stack([
+        rng.integers(0, 346, n), rng.integers(0, 260, n), rng.integers(0, 2, n),
+    ], axis=1).astype(np.int16)
+    starts = np.array([10, 100], np.int64)
+    ends = np.array([100, 200], np.int64)
+    got, valid = native.pad_windows_ddd17(t, xyp, starts, ends, capacity=128)
+    assert got.shape == (2, 128, 4)
+    assert valid[0].sum() == 90 and valid[1].sum() == 100
+    # re-zeroed timestamps stay exact in f32
+    np.testing.assert_allclose(got[0, :90, 2], (t[10:100] - t[10]).astype(np.float32))
+    np.testing.assert_allclose(got[1, :100, 0], xyp[100:200, 0])
