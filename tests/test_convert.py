@@ -73,11 +73,52 @@ def test_e2vid_activation_parity(hw):
         np.asarray(img2)[..., 0], timg2.numpy()[:, 0], atol=5e-5)
 
 
-def test_resnet18_conversion_parity():
-    import torchvision
+def _make_torch_resnet18():
+    """Minimal torch resnet18 with torchvision's module/state-dict naming
+    (torchvision isn't vendored here; only the state_dict layout matters)."""
+    import torch.nn as tnn
 
+    class BasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idn)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.layer1 = tnn.Sequential(BasicBlock(64, 64), BasicBlock(64, 64))
+            self.layer2 = tnn.Sequential(BasicBlock(64, 128, 2), BasicBlock(128, 128))
+            self.layer3 = tnn.Sequential(BasicBlock(128, 256, 2), BasicBlock(256, 256))
+
+    net = Net()
+    # randomize BN running stats so parity actually exercises them
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    return net
+
+
+def test_resnet18_conversion_parity():
     torch.manual_seed(0)
-    tnet = torchvision.models.resnet18(weights=None).eval()
+    tnet = _make_torch_resnet18().eval()
 
     enc = ResNet18Encoder()
     import jax
