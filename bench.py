@@ -1,20 +1,25 @@
 """Benchmark: event-windows/sec/chip on the DSEC-shaped supervised train step.
 
-Measures the full jitted training step — 20-window recurrent E2VID rollout
-(lax.scan, bf16, encoder-only until the final window), segmentation head
-forward, dice+CE loss, backward, RAdam update — at the reference's DSEC
-training shape (440x640 voxel grids, 5 bins, batch 8; BASELINE.md).
+Measures the full production train step at the reference's DSEC training
+shape (BASELINE.md): batch 8 x 20 windows x 100k events, 480x640 sensor ->
+rectified 5-bin voxel grids. The step is ONE jitted program containing:
+
+  raw SoA events -> rectify-map gather + trilinear scatter voxelization
+  (fused INSIDE the recurrent lax.scan — the dense (B,T,H,W,C) stack never
+  exists) -> per-window nonzero normalization -> 20-step ConvLSTM UNet
+  rollout (bf16, encoder-only until the last window) -> segmentation head ->
+  dice+CE loss -> backward -> RAdam update.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference repo publishes no throughput numbers (BASELINE.md).
-``BASELINE_WINDOWS_PER_SEC`` is our documented estimate of the PyTorch
-reference's DSEC training throughput on its single-GPU setup: the reference
-pipeline voxelizes on CPU inside each DataLoader worker
-(~112 MB event tensor per sample, DSEC/dataset/sequence.py:255-287) and runs
-a 20-iteration Python loop of E2VID forwards per batch
-(ess_supervised_trainer.py:126-130); ~1 s/step for batch 8 x 20 windows
-=> ~160 windows/s. Target from BASELINE.json: >= 5x => >= 800 windows/s.
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``BASELINE_WINDOWS_PER_SEC`` documents our estimate of the PyTorch
+reference's DSEC supervised training throughput on its single-GPU setup:
+the pipeline voxelizes on CPU in DataLoader workers (~112 MB event tensor
+per sample, DSEC/dataset/sequence.py:255-287, joblib 8 threads ~ 0.5-1 s per
+8-sample batch) overlapped with a 20-iteration Python loop of E2VID forwards
++ decoder backward (~0.4 s/batch on a 2080Ti-class GPU); net ~1 s per 160
+windows => ~160 windows/s. Target from BASELINE.json: >= 5x => >= 800.
 """
 
 import json
@@ -26,7 +31,8 @@ BASELINE_WINDOWS_PER_SEC = 160.0
 
 BATCH = 8
 WINDOWS = 20
-HEIGHT, WIDTH = 440, 640
+SENSOR_H, SENSOR_W = 480, 640
+EVENTS_PER_WINDOW = 100_000
 BINS = 5
 NUM_CLASSES = 11
 
@@ -39,16 +45,17 @@ def main() -> None:
         Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
         ModelConfig, OptimConfig, TaskConfig,
     )
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
     from ess_tpu.train.builder import build_modules, init_state
     from ess_tpu.train import supervised as sup
 
     cfg = Config(
         dataset=DatasetConfig(
-            sensor_a=ImageDatasetConfig(shape=(HEIGHT, WIDTH)),
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
             sensor_b=EventDatasetConfig(
-                name="DSEC_events", shape=(HEIGHT, WIDTH),
+                name="DSEC_events", shape=(440, 640),
                 nr_events_data=WINDOWS, nr_temporal_bins=BINS,
-                nr_events_window=100_000),
+                nr_events_window=EVENTS_PER_WINDOW),
         ),
         model=ModelConfig(model_name="ess_supervised", compute_dtype="bfloat16"),
         task=TaskConfig(semseg_num_classes=NUM_CLASSES),
@@ -56,14 +63,25 @@ def main() -> None:
     )
     mods = build_modules(cfg)
     state = init_state(mods, jax.random.PRNGKey(0))
-    step = sup.make_train_step(mods)
+
+    # DSEC production path: float host-rectified coords -> trilinear kernel
+    pipeline = EventPipeline(
+        PipelineConfig(
+            sensor_height=SENSOR_H, sensor_width=SENSOR_W, num_bins=BINS,
+            crop_bottom=40, trilinear=True, normalize=True))
+
+    step = sup.make_train_step(mods, pipeline)
 
     rng = np.random.default_rng(0)
+    shape = (BATCH, WINDOWS, EVENTS_PER_WINDOW)
     batch = {
-        "events": jnp.asarray(
-            rng.normal(size=(BATCH, WINDOWS, HEIGHT, WIDTH, BINS)).astype(np.float32)),
+        "ev_x": jnp.asarray(rng.uniform(0, SENSOR_W - 1, shape), jnp.float32),
+        "ev_y": jnp.asarray(rng.uniform(0, SENSOR_H - 1, shape), jnp.float32),
+        "ev_t": jnp.asarray(np.sort(rng.uniform(0, 5e4, shape)), jnp.float32),
+        "ev_p": jnp.asarray(rng.integers(0, 2, shape), jnp.float32),
+        "ev_valid": jnp.asarray(np.ones(shape, bool)),
         "label": jnp.asarray(
-            rng.integers(0, NUM_CLASSES, size=(BATCH, HEIGHT, WIDTH)).astype(np.int32)),
+            rng.integers(0, NUM_CLASSES, (BATCH, 440, 640)), jnp.int32),
     }
 
     # compile + warmup

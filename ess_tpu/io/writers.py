@@ -1,0 +1,79 @@
+"""Metric/observability writers.
+
+Capability parity with the reference's tensorboardX SummaryWriter + W&B
+mirror (base_trainer.py:34, train.py:35-51): scalar curves (50-step-averaged
+train losses, base_trainer.py:525-541), image grids, and confusion-matrix
+figures. W&B is not vendored in this environment; the equivalent durable
+record is a JSONL event stream any dashboard can tail (and the writer API
+accepts a wandb-style ``config`` dict for provenance).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricsWriter:
+    """TensorBoard (if available) + JSONL scalar/image writer."""
+
+    def __init__(self, log_dir: str, *, config: Optional[dict] = None,
+                 flush_every: int = 50):
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+        self._avg: Dict[str, list] = defaultdict(list)
+        self.flush_every = flush_every
+        if config:
+            with open(os.path.join(log_dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        v = float(value)
+        self._jsonl.write(json.dumps(
+            {"t": time.time(), "step": step, tag: v}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, v, step)
+
+    def scalars(self, values: Dict[str, float], step: int, prefix: str = "") -> None:
+        for k, v in values.items():
+            if np.ndim(v) == 0:
+                self.scalar(prefix + k, v, step)
+
+    def averaged_scalar(self, tag: str, value: float, step: int) -> None:
+        """Accumulate and emit the mean every ``flush_every`` calls
+        (reference's 50-step-averaged train summaries)."""
+        self._avg[tag].append(float(value))
+        if len(self._avg[tag]) >= self.flush_every:
+            self.scalar(tag, float(np.mean(self._avg[tag])), step)
+            self._avg[tag].clear()
+
+    def image(self, tag: str, img_hwc: np.ndarray, step: int) -> None:
+        """Log an HWC uint8/float image (grids built by ess_tpu.utils.viz)."""
+        if self._tb is not None:
+            arr = np.asarray(img_hwc)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+
+    def flush(self) -> None:
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

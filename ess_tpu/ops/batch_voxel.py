@@ -41,6 +41,134 @@ def rectify_events(
     return rect[..., 0], rect[..., 1]
 
 
+def _masked_time_norm(t: jax.Array, valid: jax.Array, num_bins: int) -> jax.Array:
+    """Per-sample normalized time in [0, bins-1] over valid events; (B, N)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    t0 = jnp.min(jnp.where(valid, t, big), axis=-1, keepdims=True)
+    t1 = jnp.max(jnp.where(valid, t, -big), axis=-1, keepdims=True)
+    delta = jnp.where(t1 - t0 <= 0, 1.0, t1 - t0)
+    return (num_bins - 1) * (t - t0) / delta
+
+
+def _normalize_flat(grid: jax.Array) -> jax.Array:
+    """Nonzero mean/std standardization per sample on (B, C, cells) layout
+    (bandwidth-friendly: reductions run over the large minor axis)."""
+    nz = grid != 0
+    num = jnp.sum(nz, axis=(1, 2))
+    num_f = jnp.maximum(num, 1).astype(jnp.float32)
+    mean = jnp.sum(grid, axis=(1, 2)) / num_f
+    var = jnp.sum(grid * grid, axis=(1, 2)) / num_f - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    std = jnp.where(std > 0, std, 1.0)
+    out = jnp.where(nz, (grid - mean[:, None, None]) / std[:, None, None], 0.0)
+    return jnp.where((num > 0)[:, None, None], out, grid)
+
+
+def voxelize_window_soa(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    valid: jax.Array,
+    *,
+    num_bins: int,
+    height: int,
+    width: int,
+    representation: str = "voxel_grid",
+    separate_pol: bool = False,
+    trilinear: bool = False,
+    rectify_map: Optional[jax.Array] = None,
+    normalize: bool = False,
+) -> jax.Array:
+    """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
+
+    Performance-critical path (runs inside the recurrent scan):
+    - SoA (B, N) inputs: a trailing size-4 AoS dim would be lane-padded
+      128/4 = 32x by TPU tiling.
+    - The whole batch is ONE flat scatter-add with the batch index folded
+      into the cell index — measured ~0.1 ms for 8 x 100k events x 8 corners
+      on v5e, where a vmapped per-sample scatter took ~9 ms.
+    - ``trilinear`` selects the float-coordinate 8-corner kernel (DSEC
+      rectified events; integer-coordinate streams use the 2x cheaper
+      temporal-bilinear kernel). ``rectify_map`` applies the undistortion
+      lookup on-device; NOTE a (B, N) gather costs ~13 ms/window on v5e, so
+      production loaders rectify on the host (ess_tpu/data/dsec.py) and this
+      stays None.
+    """
+    b, n = x.shape
+    if rectify_map is not None:
+        x, y = rectify_events(x, y, rectify_map)
+        trilinear = True
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
+    cells = height * width
+
+    if representation == "histogram":
+        num_ch = 2
+        per_b = num_ch * cells
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+        ok = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height) & valid
+        chan = (pol > 0).astype(jnp.int32)
+        boff = (jnp.arange(b, dtype=jnp.int32) * per_b)[:, None]
+        idx = jnp.where(ok, boff + chan * cells + yi * width + xi, 0)
+        flat = jnp.zeros((b * per_b,), jnp.float32).at[idx.reshape(-1)].add(
+            jnp.where(ok, 1.0, 0.0).reshape(-1), mode="drop")
+        grid = flat.reshape(b, num_ch, cells)
+        return jnp.moveaxis(grid.reshape(b, num_ch, height, width), 1, -1)
+
+    ts = _masked_time_norm(t.astype(jnp.float32), valid, num_bins)
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    t0 = ts.astype(jnp.int32)
+    num_ch = num_bins * 2 if separate_pol else num_bins
+    per_b = num_ch * cells
+    boff = (jnp.arange(b, dtype=jnp.int32) * per_b)[:, None]
+
+    idx_list = []
+    val_list = []
+    if trilinear:
+        in_xy = valid  # per-corner bounds checked below
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dt in (0, 1):
+                    xl, yl, tl = x0 + dx, y0 + dy, t0 + dt
+                    ok = ((xl >= 0) & (xl < width) & (yl >= 0) & (yl < height)
+                          & (tl >= 0) & (tl < num_bins) & in_xy)
+                    w = (pol
+                         * (1.0 - jnp.abs(xl.astype(jnp.float32) - x))
+                         * (1.0 - jnp.abs(yl.astype(jnp.float32) - y))
+                         * (1.0 - jnp.abs(tl.astype(jnp.float32) - ts)))
+                    idx_list.append(
+                        jnp.where(ok, boff + tl * cells + yl * width + xl, 0))
+                    val_list.append(jnp.where(ok, w, 0.0))
+    else:
+        # temporal bilinear: integer pixel, split |pol| between 2 time bins
+        in_frame = ((x0 >= 0) & (x0 < width) & (y0 >= 0) & (y0 < height)
+                    & (ts >= 0.0) & (ts < num_bins) & valid)
+        dts = ts - t0.astype(jnp.float32)
+        pix = y0 * width + x0
+        if separate_pol:
+            chan_off = jnp.where(pol > 0, 0, num_bins * cells).astype(jnp.int32)
+            mag = jnp.ones_like(pol)
+        else:
+            chan_off = jnp.zeros_like(x0)
+            mag = pol
+        for tl, w in ((t0, mag * (1.0 - dts)), (t0 + 1, mag * dts)):
+            ok = in_frame & (tl < num_bins)
+            idx_list.append(jnp.where(ok, boff + chan_off + tl * cells + pix, 0))
+            val_list.append(jnp.where(ok, w, 0.0))
+
+    idx = jnp.concatenate([i.reshape(-1) for i in idx_list])
+    vals = jnp.concatenate([v.reshape(-1) for v in val_list])
+    flat = jnp.zeros((b * per_b,), jnp.float32).at[idx].add(vals, mode="drop")
+    grid = flat.reshape(b, num_ch, cells)
+    if normalize:
+        grid = _normalize_flat(grid)
+    return jnp.moveaxis(grid.reshape(b, num_ch, height, width), 1, -1)
+
+
 def voxelize_windows(
     events: jax.Array,
     valid: jax.Array,
@@ -50,32 +178,23 @@ def voxelize_windows(
     width: int,
     representation: str = "voxel_grid",
     separate_pol: bool = False,
+    trilinear: bool = False,
     rectify_map: Optional[jax.Array] = None,
     normalize: bool = False,
 ) -> jax.Array:
-    """(B, T, N, 4) raw events -> (B, T, H, W, C) NHWC voxel grids.
+    """(B, T, N, 4) AoS raw events -> (B, T, H, W, C) NHWC voxel grids.
 
-    With ``rectify_map`` the coords are undistorted first and the full
-    trilinear kernel is used (DSEC path); otherwise the temporal-bilinear
-    kernel (DDD17 path). ``representation='histogram'`` gives 2-channel
-    counts.
+    Dense convenience wrapper over :func:`voxelize_window_soa` (folds B*T
+    into one flat batched scatter). Production training uses the SoA form
+    directly inside the recurrent scan instead.
     """
-
-    def one(ev_win: jax.Array, valid_win: jax.Array) -> jax.Array:
-        x, y, t, p = (ev_win[:, 0], ev_win[:, 1], ev_win[:, 2], ev_win[:, 3])
-        if rectify_map is not None:
-            x, y = rectify_events(x, y, rectify_map)
-        ev = EventWindow.from_arrays(x, y, t, p, valid_win)
-        if representation == "histogram":
-            chw = event_histogram(ev, height=height, width=width)
-        elif rectify_map is not None:
-            chw = voxel_grid_trilinear(
-                ev, num_bins=num_bins, height=height, width=width,
-                normalize=normalize)
-        else:
-            chw = voxel_grid_temporal(
-                ev, num_bins=num_bins, height=height, width=width,
-                separate_pol=separate_pol)
-        return jnp.moveaxis(chw, 0, -1)  # CHW -> HWC
-
-    return jax.vmap(jax.vmap(one))(events, valid)
+    b, t_dim, n = events.shape[:3]
+    flat = lambda a: a.reshape(b * t_dim, n)
+    grids = voxelize_window_soa(
+        flat(events[..., 0]), flat(events[..., 1]), flat(events[..., 2]),
+        flat(events[..., 3]), flat(valid),
+        num_bins=num_bins, height=height, width=width,
+        representation=representation, separate_pol=separate_pol,
+        trilinear=trilinear, rectify_map=rectify_map, normalize=normalize,
+    )
+    return grids.reshape(b, t_dim, *grids.shape[1:])

@@ -110,6 +110,35 @@ class Reconstructor:
             params, windows[:, -1], state, decode=True)
         return final_img, final_state, final_latent
 
+    def rollout_events(self, params, soa: dict, voxel_fn, init_state=None):
+        """Fused rollout from RAW events: voxelize-inside-the-scan.
+
+        ``soa``: {"ev_x","ev_y","ev_t","ev_p": (B, T, N), "ev_valid"} struct
+        -of-arrays event buffers; ``voxel_fn(x, y, t, p, valid) -> (B, H, W,
+        C)`` from ``EventPipeline.make_window_fn``. One window's voxel grid
+        exists at a time — the dense (B, T, H, W, C) stack is never
+        materialized in HBM.
+        """
+        b, t_dim = soa["ev_x"].shape[:2]
+        state = self.init_state(b) if init_state is None else init_state
+
+        def get_window(i):
+            take = lambda a: jax.lax.dynamic_index_in_dim(
+                a, i, axis=1, keepdims=False)
+            return voxel_fn(take(soa["ev_x"]), take(soa["ev_y"]),
+                            take(soa["ev_t"]), take(soa["ev_p"]),
+                            take(soa["ev_valid"]))
+
+        def body(carry, i):
+            _, new_state, _ = self.step(params, get_window(i), carry, decode=False)
+            return new_state, None
+
+        if t_dim > 1:
+            state, _ = jax.lax.scan(body, state, jnp.arange(t_dim - 1))
+        final_img, final_state, final_latent = self.step(
+            params, get_window(t_dim - 1), state, decode=True)
+        return final_img, final_state, final_latent
+
     def rollout_all(self, params, windows: jax.Array, init_state=None):
         """Like :meth:`rollout` but returns every intermediate image
         (T, B, Hp, Wp, 1) — the standalone reconstruction CLI's output

@@ -84,10 +84,15 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         th = vh = math.ceil(h / 8) * 8
         tw = vw = math.ceil(w / 8) * 8
 
+    # Per-window nonzero normalization (the reference's EventPreprocessor,
+    # inference_utils.py:95-108) happens inside the voxelizer on the flat
+    # (B, C, cells) layout (ess_tpu/ops/batch_voxel.py) — the NHWC layout's
+    # lane-padded reductions measured ~25 ms/window on v5e; the flat form is
+    # free. So the reconstructor itself doesn't re-normalize.
     recon_train = Reconstructor(model=e2vid, height=th, width=tw,
-                                normalize=True)
+                                normalize=False)
     recon_val = Reconstructor(model=e2vid, height=vh, width=vw,
-                              normalize=True)
+                              normalize=False)
 
     opt_front = (
         make_radam(cfg.optim.lr_front, lr_decay=cfg.optim.lr_decay,
@@ -102,6 +107,60 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         recon_train=recon_train, recon_val=recon_val,
         opt_front=opt_front, opt_back=opt_back,
     )
+
+
+def make_pipeline(
+    cfg: Config, *, train: bool = True, rectify_map=None,
+):
+    """Dataset-specific on-device EventPipeline (SURVEY.md section 2.3/2.4).
+
+    - DSEC: host-rectified float coords -> trilinear kernel at 480x640,
+      40-bottom-row crop, flip aug (sequence.py:255-295).
+    - DDD17: integer coords -> temporal bilinear at 260x346, 60-row crop +
+      resize to 200x352, bottom-anchored 120x216 random crop + flip
+      (ddd17_events_loader.py:139-183).
+    - anything else: plain voxelize at the dataset shape.
+    """
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+
+    ds = cfg.dataset.sensor_b
+    aug = train and cfg.model.data_augmentation_train
+    if ds.name.startswith("DSEC"):
+        pc = PipelineConfig(
+            sensor_height=480, sensor_width=640,
+            num_bins=ds.nr_temporal_bins,
+            representation=ds.event_representation,
+            separate_pol=ds.separate_pol,
+            normalize=True,
+            crop_bottom=40,
+            random_flip=aug,
+            trilinear=True,
+            rectify=rectify_map is not None,
+        )
+    elif ds.name.startswith("DDD17"):
+        pc = PipelineConfig(
+            sensor_height=260, sensor_width=346,
+            num_bins=ds.nr_temporal_bins,
+            representation=ds.event_representation,
+            separate_pol=ds.separate_pol,
+            normalize=True,
+            crop_bottom=60,
+            resize_to=(200, 352),
+            random_crop=(120, 216) if aug and cfg.model.model_name == "ess" else None,
+            crop_anchor="bottom",
+            random_flip=aug,
+        )
+    else:
+        h, w = ds.shape
+        pc = PipelineConfig(
+            sensor_height=h, sensor_width=w,
+            num_bins=ds.nr_temporal_bins,
+            representation=ds.event_representation,
+            separate_pol=ds.separate_pol,
+            normalize=True,
+            random_flip=aug,
+        )
+    return EventPipeline(pc, rectify_map=rectify_map)
 
 
 def init_state(

@@ -1,0 +1,196 @@
+"""Training orchestration: epoch loop, validation, checkpointing, logging.
+
+Capability parity with the reference training engine
+(/root/reference/training/base_trainer.py:361-486 — ``train()`` epoch loop
+with validation every ``val_epoch_step`` epochs, checkpoint save, LR decay;
+ess_supervised_trainer.py:77-90 iterates only the event loader;
+ess_trainer.py pairs both domains through WrapperDataset).
+
+TPU-first: the loop is a thin host driver around jitted steps — batches are
+converted to SoA, prefetched to the device (double-buffered, optionally
+sharded across a data mesh), and every metric crosses to the host as a
+scalar or a (C, C) confusion matrix. LR decay lives inside the optax
+schedule, not the loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ess_tpu.core.config import Config
+from ess_tpu.data.loader import BatchLoader, PairedLoader, prefetch_to_device
+from ess_tpu.data.pipeline import to_soa
+from ess_tpu.io.checkpoint import CheckpointManager
+from ess_tpu.io.writers import MetricsWriter
+from ess_tpu.train import supervised as sup
+from ess_tpu.train import uda as uda_mod
+from ess_tpu.train.builder import ESSModules, build_modules, init_state, make_pipeline
+from ess_tpu.train.metrics import MetricsSemseg
+
+
+def _device_batches(loader, sharding=None):
+    return prefetch_to_device(
+        (to_soa(b) if "raw_events" in b else b for b in loader),
+        sharding=sharding)
+
+
+def _merge_uda(batch_a: dict, batch_b: dict) -> dict:
+    out = {"image_a": batch_a["image"], "label_a": batch_a["label"]}
+    for k, v in batch_b.items():
+        if k == "label":
+            out["label_b"] = v
+        elif k == "events":
+            out["events_b"] = v
+        else:
+            out[k] = v
+    return out
+
+
+class Trainer:
+    """End-to-end ESS training driver (supervised or UDA)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        train_b: BatchLoader,
+        val_b: Optional[BatchLoader] = None,
+        train_a: Optional[BatchLoader] = None,
+        val_a: Optional[BatchLoader] = None,
+        rectify_map=None,
+        mesh=None,
+        e2vid_params=None,
+        front_params=None,
+        front_batch_stats=None,
+        log_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.is_uda = cfg.model.model_name == "ess"
+        self.train_b, self.val_b = train_b, val_b
+        self.train_a, self.val_a = train_a, val_a
+        self.mesh = mesh
+
+        steps_per_epoch = len(train_b) if not self.is_uda else max(
+            len(train_a or train_b), len(train_b))
+        self.mods: ESSModules = build_modules(cfg, steps_per_epoch=steps_per_epoch)
+        self.pipe_train = make_pipeline(cfg, train=True, rectify_map=rectify_map)
+        self.pipe_val = make_pipeline(cfg, train=False, rectify_map=rectify_map)
+
+        self.state = init_state(
+            self.mods, jax.random.PRNGKey(cfg.seed),
+            e2vid_params=e2vid_params, front_params=front_params,
+            front_batch_stats=front_batch_stats)
+
+        if self.is_uda:
+            self.train_step = uda_mod.make_train_step(self.mods, self.pipe_train)
+            self.eval_step_a = uda_mod.make_eval_step_a(self.mods)
+            self.eval_step_b = uda_mod.make_eval_step_b(self.mods, self.pipe_val)
+        else:
+            self.train_step = sup.make_train_step(self.mods, self.pipe_train)
+            self.eval_step_b = sup.make_eval_step(self.mods, self.pipe_val)
+            self.eval_step_a = None
+
+        self.log_dir = log_dir or os.path.join(
+            cfg.log_dir, time.strftime("%Y%m%d-%H%M%S"))
+        self.writer = MetricsWriter(self.log_dir, config={"cfg": cfg})
+        self.ckpt = (CheckpointManager(os.path.join(self.log_dir, "checkpoints"))
+                     if cfg.checkpoint.save_checkpoint else None)
+        self.step_count = 0
+        self.epoch = 0
+
+        if cfg.checkpoint.resume_training and self.ckpt is not None:
+            latest = self.ckpt.latest_epoch()
+            if latest is not None:
+                self.state = self.ckpt.restore(self.state, latest)
+                self.epoch = latest + 1
+
+        if mesh is not None:
+            from ess_tpu.parallel import batch_sharding, replicate
+            self.state = replicate(self.state, mesh)
+            self._sharding = batch_sharding(mesh)
+        else:
+            self._sharding = None
+
+    # ------------------------------------------------------------------
+
+    def _train_batches(self) -> Iterator[dict]:
+        if self.is_uda:
+            paired = PairedLoader(self.train_a, self.train_b)
+            it = (_merge_uda(a, to_soa(b) if "raw_events" in b else b)
+                  for a, b in paired)
+            yield from prefetch_to_device(it, sharding=self._sharding)
+        else:
+            yield from _device_batches(self.train_b, self._sharding)
+
+    def train_epoch(self) -> None:
+        for batch in self._train_batches():
+            self.state, losses = self.train_step(self.state, batch)
+            self.step_count += 1
+            for k, v in losses.items():
+                self.writer.averaged_scalar(f"train/{k}", float(v), self.step_count)
+
+    def validate(self) -> dict:
+        cfg = self.cfg
+        summary: dict = {}
+        task = cfg.task
+        if self.eval_step_a is not None and self.val_a is not None:
+            m = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
+                              task.class_names)
+            for batch in _device_batches(self.val_a, self._sharding):
+                out = self.eval_step_a(self.state, batch)
+                m.update_confusion(np.asarray(out["cm_a"]))
+                self.writer.averaged_scalar(
+                    "val/semseg_sensor_a_loss",
+                    float(out["semseg_sensor_a_loss"]), self.step_count)
+            s = m.summary()
+            summary["semseg_sensor_a_mean_iou"] = s["mean_iou"]
+            summary["semseg_sensor_a_acc"] = s["acc"]
+
+        if self.val_b is not None:
+            m_b = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
+                                task.class_names)
+            m_cycle = MetricsSemseg(task.semseg_num_classes,
+                                    task.semseg_ignore_label, task.class_names)
+            for batch in _device_batches(self.val_b, self._sharding):
+                out = self.eval_step_b(self.state, batch)
+                key = "cm_b" if "cm_b" in out else "cm"
+                m_b.update_confusion(np.asarray(out[key]))
+                if "cm_cycle" in out:
+                    m_cycle.update_confusion(np.asarray(out["cm_cycle"]))
+            s = m_b.summary()
+            summary["semseg_sensor_b_mean_iou"] = s["mean_iou"]
+            summary["semseg_sensor_b_acc"] = s["acc"]
+            summary["cm_b"] = s["cm"]
+            if m_cycle.confusion.sum() > 0:
+                sc = m_cycle.summary()
+                summary["semseg_sensor_cycle_mean_iou"] = sc["mean_iou"]
+                summary["semseg_sensor_cycle_acc"] = sc["acc"]
+        for k, v in summary.items():
+            if np.ndim(v) == 0:
+                self.writer.scalar(f"val/{k}", float(v), self.step_count)
+        return summary
+
+    def run(self) -> dict:
+        """Full training: epochs with periodic validation + checkpoints
+        (base_trainer.py:361-398)."""
+        cfg = self.cfg
+        last_summary: dict = {}
+        for epoch in range(self.epoch, cfg.optim.num_epochs):
+            self.epoch = epoch
+            if epoch % cfg.optim.val_epoch_step == 0 and (
+                    self.val_b is not None or self.val_a is not None):
+                last_summary = self.validate()
+            self.train_epoch()
+            if self.ckpt is not None:
+                self.ckpt.save(epoch, jax.device_get(self.state))
+        if self.val_b is not None or self.val_a is not None:
+            last_summary = self.validate()
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        self.writer.flush()
+        return last_summary

@@ -6,18 +6,26 @@ recurrent rollout through the frozen E2VID (task_train_step :111-152 with the
 latent detach at :145-146), dice+CE task loss on event labels, a single RAdam
 on the head (:63-75), and confusion-matrix validation on sensor B (:172-292).
 
-TPU-first: the whole step — rollout (lax.scan), head forward, loss, backward,
-RAdam update — is ONE jitted function with a donated TrainState; the frozen
-backbone runs under stop_gradient so XLA stores no rollout activations.
+TPU-first: the whole step — on-device voxelization fused into the rollout
+(lax.scan), head forward, loss, backward, RAdam update — is ONE jitted
+function with a donated TrainState; the frozen backbone runs under
+stop_gradient so XLA stores no rollout activations.
+
+Batches come in two forms:
+- fused (production): SoA raw events {"ev_x","ev_y","ev_t","ev_p","ev_valid"
+  : (B, T, N)} + "label"; requires a ``pipeline`` (EventPipeline) that
+  voxelizes per window inside the scan.
+- dense (tests/small scale): prebuilt {"events": (B, T, H, W, C)} grids.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
+from ess_tpu.data.pipeline import AugmentParams, EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
 from ess_tpu.train.losses import task_loss
@@ -25,30 +33,44 @@ from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 
 
-def make_train_step(mods: ESSModules) -> Callable:
-    """Build the jitted supervised train step.
+def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None):
+    """Dispatch dense vs fused-SoA rollout; returns (img, latent, labels)."""
+    labels = batch.get("label")
+    if "ev_x" in batch:
+        assert pipeline is not None, "SoA batch requires an EventPipeline"
+        b = batch["ev_x"].shape[0]
+        aug = pipeline.sample_augment(rng, b, train=train)
+        voxel_fn = pipeline.make_window_fn(aug)
+        if labels is not None:
+            labels = pipeline.apply_label_transform(labels, aug)
+        img, _, latent = recon.rollout_events(state.e2vid_params, batch, voxel_fn)
+    else:
+        img, _, latent = recon.rollout(state.e2vid_params, batch["events"])
+    return img, latent, labels
 
-    batch: {"events": (B, T, H, W, C), "label": (B, H, W) int}
-    returns (new_state, {"loss": ..., "semseg_sensor_b_loss": ...}).
-    """
+
+def make_train_step(
+    mods: ESSModules,
+    pipeline: Optional[EventPipeline] = None,
+) -> Callable:
+    """Build the jitted supervised train step."""
     cfg = mods.cfg
+    base_rng = jax.random.PRNGKey(cfg.seed)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        windows = batch["events"]
-        labels = batch["label"]
-
-        _, _, latent = mods.recon_train.rollout(state.e2vid_params, windows)
+        rng = jax.random.fold_in(base_rng, state.step)
+        _, latent, labels = _rollout(
+            mods, mods.recon_train, state, batch, pipeline, train=True, rng=rng)
         latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
 
         def loss_fn(back_params):
             preds = mods.head.apply({"params": back_params}, latent)
-            loss = task_loss(
+            return task_loss(
                 preds[1], labels,
                 num_classes=cfg.task.semseg_num_classes,
                 ignore_label=cfg.task.semseg_ignore_label,
                 losses=cfg.optim.task_loss,
             ) * cfg.optim.weight_task_loss
-            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.back_params)
         new_back, new_opt = apply_updates(
@@ -60,17 +82,18 @@ def make_train_step(mods: ESSModules) -> Callable:
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(mods: ESSModules) -> Callable:
-    """Build the jitted eval step: rollout at val resolution, head forward,
-    nearest-upsample logits to the label resolution, loss + on-device
-    confusion matrix (ess_supervised_trainer.py:219-256 semantics)."""
+def make_eval_step(
+    mods: ESSModules,
+    pipeline: Optional[EventPipeline] = None,
+) -> Callable:
+    """Jitted eval step: rollout at val resolution, head forward, nearest
+    -upsample logits to label resolution, loss + on-device confusion matrix
+    (ess_supervised_trainer.py:219-256 semantics)."""
     cfg = mods.cfg
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        windows = batch["events"]
-        labels = batch["label"]
-
-        img_fake, _, latent = mods.recon_val.rollout(state.e2vid_params, windows)
+        img_fake, latent, labels = _rollout(
+            mods, mods.recon_val, state, batch, pipeline, train=False)
         preds = mods.head.apply({"params": state.back_params}, latent)
         logits = preds[1]
         lh, lw = labels.shape[1], labels.shape[2]

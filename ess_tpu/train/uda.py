@@ -29,11 +29,15 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
+from ess_tpu.data.pipeline import EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
 from ess_tpu.train.losses import l1_loss, symmetric_js_divergence, task_loss
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
+from ess_tpu.train.supervised import _rollout
 
 sg = jax.lax.stop_gradient
 
@@ -49,17 +53,21 @@ def _cycle_latent_loss(latent_fake, latent_real, *, skip_connect_encoder, weight
     return total
 
 
-def make_train_step(mods: ESSModules) -> Callable:
+def make_train_step(
+    mods: ESSModules, pipeline: Optional[EventPipeline] = None
+) -> Callable:
     """Build the jitted UDA train step.
 
-    batch: {"image_a": (B,H,W,1), "label_a": (B,H,W),
-            "events_b": (B,T,h,w,C), optional "label_b": (B,h,w)}
+    batch: {"image_a": (B,H,W,1), "label_a": (B,H,W)} plus the sensor-B
+    events as either dense "events_b": (B,T,h,w,C) or fused SoA buffers
+    ("ev_x" etc. + EventPipeline), optionally "label_b": (B,h,w).
     """
     cfg = mods.cfg
     is_dsec = cfg.dataset.sensor_b.name.startswith("DSEC")
     w = cfg.optim
     num_classes = cfg.task.semseg_num_classes
     ignore = cfg.task.semseg_ignore_label
+    base_rng = jax.random.PRNGKey(cfg.seed + 1)
 
     def tloss(logits, labels):
         return task_loss(logits, labels, num_classes=num_classes,
@@ -67,12 +75,17 @@ def make_train_step(mods: ESSModules) -> Callable:
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         img_a, labels_a = batch["image_a"], batch["label_a"]
-        windows_b = batch["events_b"]
-        labels_b = batch.get("label_b")
 
         # Frozen recurrent reconstruction (no activations kept).
-        img_fake, _, latent_real = mods.recon_train.rollout(
-            state.e2vid_params, windows_b)
+        rng = jax.random.fold_in(base_rng, state.step)
+        b_batch = {k[:-2] if k.endswith("_b") and k != "label_b" else k: v
+                   for k, v in batch.items()}
+        b_batch["label"] = batch.get("label_b")
+        if b_batch["label"] is None:
+            b_batch.pop("label")
+        img_fake, latent_real, labels_b = _rollout(
+            mods, mods.recon_train, state, b_batch, pipeline,
+            train=True, rng=rng)
         img_fake = sg(img_fake)
         latent_real = jax.tree.map(sg, latent_real)
 
@@ -175,7 +188,9 @@ def make_eval_step_a(mods: ESSModules) -> Callable:
     return jax.jit(step)
 
 
-def make_eval_step_b(mods: ESSModules) -> Callable:
+def make_eval_step_b(
+    mods: ESSModules, pipeline: Optional[EventPipeline] = None
+) -> Callable:
     """Sensor-B (event) validation incl. the cycle branch
     (val_step/valTaskStep/valCycleStep, ess_trainer.py:424-544):
     rollout -> head -> nearest-upsampled prediction vs event labels, plus the
@@ -189,10 +204,10 @@ def make_eval_step_b(mods: ESSModules) -> Callable:
                          ignore_label=ignore, losses=cfg.optim.task_loss)
 
     def step(state: TrainState, batch):
-        windows, labels = batch["events"], batch["label"]
         out: Dict[str, jax.Array] = {}
 
-        img_fake, _, latent_ev = mods.recon_val.rollout(state.e2vid_params, windows)
+        img_fake, latent_ev, labels = _rollout(
+            mods, mods.recon_val, state, batch, pipeline, train=False)
         preds_ev = mods.head.apply({"params": state.back_params}, latent_ev)
         lh, lw = labels.shape[1], labels.shape[2]
         logits_ev = resize_nearest(preds_ev[1], lh, lw)

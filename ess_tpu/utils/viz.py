@@ -1,0 +1,109 @@
+"""Visualization helpers (host-side numpy).
+
+Capability parity with /root/reference/utils/viz_utils.py:10-182 (and the
+DSEC variant): event-tensor -> red/blue RGB previews, voxel-grid previews,
+semseg colorization with a checkerboard for ignore pixels, image grids, and
+confusion-matrix figures for TensorBoard.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def event_histogram_rgb(hist_2hw: np.ndarray) -> np.ndarray:
+    """2-channel (neg, pos) histogram -> HWC RGB (pos=red, neg=blue),
+    matching viz_utils.createRGBImage's histogram branch."""
+    neg, pos = hist_2hw[0], hist_2hw[1]
+    h, w = pos.shape
+    rgb = np.zeros((h, w, 3), np.float32)
+    rgb[..., 0] = np.clip(pos, 0, 1)
+    rgb[..., 2] = np.clip(neg, 0, 1)
+    return rgb
+
+
+def voxel_grid_rgb(grid_chw: np.ndarray) -> np.ndarray:
+    """Voxel grid -> temporal-colored polarity preview (viz_utils.py:55-99
+    spirit: sum of bins scaled into red/blue by sign)."""
+    s = grid_chw.sum(axis=0)
+    m = max(np.abs(s).max(), 1e-6)
+    h, w = s.shape
+    rgb = np.zeros((h, w, 3), np.float32)
+    rgb[..., 0] = np.clip(s / m, 0, 1)
+    rgb[..., 2] = np.clip(-s / m, 0, 1)
+    return rgb
+
+
+def colorize_semseg(
+    labels_hw: np.ndarray, color_map: np.ndarray, ignore_label: int = 255,
+    checker: int = 4,
+) -> np.ndarray:
+    """trainId map -> RGB; ignore pixels get a gray checkerboard
+    (viz_utils.prepare_semseg semantics)."""
+    h, w = labels_hw.shape
+    out = np.zeros((h, w, 3), np.uint8)
+    valid = labels_hw != ignore_label
+    safe = np.where(valid, labels_hw, 0).astype(np.int64)
+    safe = np.clip(safe, 0, len(color_map) - 1)
+    out[...] = color_map[safe]
+    yy, xx = np.mgrid[0:h, 0:w]
+    checkerboard = (((yy // checker) + (xx // checker)) % 2) * 64 + 96
+    for c in range(3):
+        out[..., c] = np.where(valid, out[..., c], checkerboard.astype(np.uint8))
+    return out
+
+
+def make_grid(images: Sequence[np.ndarray], nrow: int = 4,
+              pad: int = 2) -> np.ndarray:
+    """Tile HWC images into a grid (torchvision.utils.make_grid analogue)."""
+    imgs = [np.asarray(im) for im in images]
+    h = max(im.shape[0] for im in imgs)
+    w = max(im.shape[1] for im in imgs)
+    ncol = nrow
+    nrows = math.ceil(len(imgs) / ncol)
+    grid = np.zeros((nrows * (h + pad) + pad, ncol * (w + pad) + pad, 3),
+                    imgs[0].dtype)
+    for i, im in enumerate(imgs):
+        if im.ndim == 2:
+            im = np.repeat(im[..., None], 3, axis=-1)
+        if im.shape[-1] == 1:
+            im = np.repeat(im, 3, axis=-1)
+        r, c = divmod(i, ncol)
+        y0 = pad + r * (h + pad)
+        x0 = pad + c * (w + pad)
+        grid[y0: y0 + im.shape[0], x0: x0 + im.shape[1]] = im
+    return grid
+
+
+def confusion_matrix_figure(cm: np.ndarray, class_names: Sequence[str],
+                            normalize: bool = True):
+    """matplotlib figure of a confusion matrix (viz_utils.py:148-182).
+    Returns None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    cm = np.asarray(cm, np.float64)
+    if normalize:
+        cm = cm / np.clip(cm.sum(axis=1, keepdims=True), 1e-12, None)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(cm, interpolation="nearest", cmap="Blues")
+    ax.set_xticks(range(len(class_names)))
+    ax.set_yticks(range(len(class_names)))
+    ax.set_xticklabels(class_names, rotation=45, ha="right")
+    ax.set_yticklabels(class_names)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    thresh = cm.max() / 2 if cm.size else 0.5
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, f"{cm[i, j]:.2f}", ha="center",
+                    color="white" if cm[i, j] > thresh else "black",
+                    fontsize=7)
+    fig.tight_layout()
+    return fig

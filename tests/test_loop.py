@@ -1,0 +1,87 @@
+"""End-to-end Trainer loop tests on synthetic data (supervised + UDA)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ess_tpu.core.config import (
+    Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+    ModelConfig, OptimConfig, TaskConfig, CheckpointConfig,
+)
+from ess_tpu.data.loader import BatchLoader
+from ess_tpu.data.synthetic import SyntheticEvents, SyntheticImages
+from ess_tpu.train.loop import Trainer
+
+
+def loop_config(model_name, tmp, **optim):
+    return Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(16, 16)),
+            sensor_b=EventDatasetConfig(
+                name="synthetic_events", shape=(16, 16), nr_events_data=2,
+                nr_events_window=128, nr_temporal_bins=5),
+        ),
+        model=ModelConfig(model_name=model_name, e2vid_base_channels=8,
+                          compute_dtype="float32",
+                          data_augmentation_train=False),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(batch_size_a=2, batch_size_b=2, num_epochs=2,
+                          val_epoch_step=1, lr_back=1e-3, lr_front=1e-3,
+                          **optim),
+        checkpoint=CheckpointConfig(save_checkpoint=True),
+        log_dir=str(tmp),
+    )
+
+
+def event_loaders(n=6):
+    ds = SyntheticEvents(length=n, height=16, width=16, nr_events_data=2,
+                         nr_events_window=128)
+    train = BatchLoader(ds, 2, shuffle=True, num_workers=2)
+    val = BatchLoader(ds, 2, shuffle=False, drop_last=False, num_workers=2)
+    return train, val
+
+
+def test_supervised_loop_runs(tmp_path):
+    cfg = loop_config("ess_supervised", tmp_path)
+    train_b, val_b = event_loaders()
+    tr = Trainer(cfg, train_b=train_b, val_b=val_b,
+                 log_dir=str(tmp_path / "run"))
+    summary = tr.run()
+    assert "semseg_sensor_b_mean_iou" in summary
+    assert 0 <= summary["semseg_sensor_b_mean_iou"] <= 100
+    assert tr.step_count == 2 * 3  # 2 epochs x 3 batches
+    # checkpoints written
+    assert tr.ckpt.latest_epoch() == 1
+    # metrics logged
+    assert os.path.exists(os.path.join(tr.log_dir, "metrics.jsonl"))
+
+
+def test_supervised_loop_resume(tmp_path):
+    cfg = loop_config("ess_supervised", tmp_path)
+    train_b, val_b = event_loaders()
+    run_dir = str(tmp_path / "run")
+    tr = Trainer(cfg, train_b=train_b, val_b=None, log_dir=run_dir)
+    tr.run()
+    step_after = int(np.asarray(tr.state.step))
+
+    cfg2 = cfg.replace(
+        checkpoint=CheckpointConfig(save_checkpoint=True, resume_training=True),
+        optim=cfg.optim)
+    tr2 = Trainer(cfg2, train_b=train_b, val_b=None, log_dir=run_dir)
+    assert tr2.epoch == 2  # resumes past both epochs
+    assert int(np.asarray(tr2.state.step)) == step_after
+
+
+def test_uda_loop_runs(tmp_path):
+    cfg = loop_config("ess", tmp_path)
+    train_b, val_b = event_loaders()
+    imgs = SyntheticImages(length=4, height=16, width=16)
+    train_a = BatchLoader(imgs, 2, shuffle=True, num_workers=2)
+    val_a = BatchLoader(imgs, 2, shuffle=False, drop_last=False, num_workers=2)
+    tr = Trainer(cfg, train_b=train_b, val_b=val_b, train_a=train_a,
+                 val_a=val_a, log_dir=str(tmp_path / "uda"))
+    summary = tr.run()
+    assert "semseg_sensor_a_mean_iou" in summary
+    assert "semseg_sensor_b_mean_iou" in summary
+    assert "semseg_sensor_cycle_mean_iou" in summary
