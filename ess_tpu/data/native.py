@@ -49,6 +49,10 @@ def _build() -> Optional[ctypes.CDLL]:
     cdll.pad_windows_i16.argtypes = [i64p, i16p, c_i64, i64p, i64p, c_i64,
                                      c_i64, f32p, u8p]
     cdll.pad_windows_f64.argtypes = [f64p, i64p, i64p, c_i64, c_i64, f32p, u8p]
+    cdll.voxelize_trilinear_f32.argtypes = [f32p, u8p, c_i64, c_i64, c_i64,
+                                            c_i64, f32p]
+    cdll.voxelize_temporal_f32.argtypes = [f32p, u8p, c_i64, c_i64, c_i64,
+                                           c_i64, ctypes.c_int, f32p]
     return cdll
 
 
@@ -74,6 +78,42 @@ def searchsorted_i64(t: np.ndarray, queries: np.ndarray) -> np.ndarray:
         return np.searchsorted(t, q, side="left").astype(np.int64)
     out = np.empty(len(q), np.int64)
     lib.searchsorted_i64(t, len(t), q, len(q), out)
+    return out
+
+
+def voxelize_host(
+    raw_windows: np.ndarray, valid: np.ndarray, *, num_bins: int,
+    height: int, width: int, trilinear: bool = False,
+    separate_pol: bool = False,
+) -> np.ndarray:
+    """Host-side voxelization of (T, N, 4) raw windows -> (T, C, H, W) f32.
+
+    Alternative ingest mode: dense grids built by the C++ kernels inside the
+    loader's worker threads (overlapped with device compute). Falls back to
+    the JAX-on-CPU reference kernels when the native lib is unavailable.
+    """
+    lib = get_lib()
+    t_dim = raw_windows.shape[0]
+    channels = num_bins * 2 if (separate_pol and not trilinear) else num_bins
+    out = np.zeros((t_dim, channels, height, width), np.float32)
+    if lib is None:
+        from ess_tpu.ops.batch_voxel import voxelize_windows
+        import jax.numpy as jnp
+        grids = voxelize_windows(
+            jnp.asarray(raw_windows)[None], jnp.asarray(valid)[None],
+            num_bins=num_bins, height=height, width=width,
+            trilinear=trilinear, separate_pol=separate_pol)
+        return np.moveaxis(np.asarray(grids[0]), -1, 1)
+    ev = np.ascontiguousarray(raw_windows, np.float32)
+    vd = np.ascontiguousarray(valid, np.uint8)
+    for i in range(t_dim):
+        if trilinear:
+            lib.voxelize_trilinear_f32(
+                ev[i], vd[i], ev.shape[1], num_bins, height, width, out[i])
+        else:
+            lib.voxelize_temporal_f32(
+                ev[i], vd[i], ev.shape[1], num_bins, height, width,
+                int(separate_pol), out[i])
     return out
 
 

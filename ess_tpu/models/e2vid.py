@@ -58,8 +58,13 @@ def zero_recurrent_state(
     for i in range(num_encoders):
         h, w = h // 2, w // 2
         c = base_channels * 2 ** (i + 1)
-        zeros = jnp.zeros((batch, h, w, c), dtype)
-        states.append((zeros, zeros) if recurrent_block == "convlstm" else zeros)
+        if recurrent_block == "convlstm":
+            # distinct buffers: (h, c) sharing one zeros array would alias
+            # under buffer donation ("donate the same buffer twice")
+            states.append((jnp.zeros((batch, h, w, c), dtype),
+                           jnp.zeros((batch, h, w, c), dtype).copy()))
+        else:
+            states.append(jnp.zeros((batch, h, w, c), dtype))
     return tuple(states)
 
 

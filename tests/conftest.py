@@ -8,7 +8,8 @@ TPU slice. Must be set before jax initializes.
 import os
 
 # Force CPU: the surrounding environment pins JAX_PLATFORMS=axon (a tunneled
-# TPU); tests must run on the virtual 8-device CPU mesh.
+# TPU); tests must run on the virtual 8-device CPU mesh. The axon plugin
+# ignores the env var, so also force it through jax.config below.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -20,6 +21,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

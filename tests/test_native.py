@@ -55,3 +55,50 @@ def test_pad_windows_ddd17_layout(rng):
     # re-zeroed timestamps stay exact in f32
     np.testing.assert_allclose(got[0, :90, 2], (t[10:100] - t[10]).astype(np.float32))
     np.testing.assert_allclose(got[1, :100, 0], xyp[100:200, 0])
+
+
+def test_host_voxelize_trilinear_parity(rng):
+    """C++ trilinear voxelizer matches the JAX reference kernel."""
+    import jax.numpy as jnp
+    from ess_tpu.ops.voxel import EventWindow, voxel_grid_trilinear
+
+    t_dim, n, h, w, bins = 2, 300, 20, 24, 5
+    ev = np.zeros((t_dim, n, 4), np.float32)
+    ev[..., 0] = rng.uniform(0, w - 1, (t_dim, n))
+    ev[..., 1] = rng.uniform(0, h - 1, (t_dim, n))
+    ev[..., 2] = np.sort(rng.uniform(0, 1e4, (t_dim, n)), axis=-1)
+    ev[..., 3] = rng.integers(0, 2, (t_dim, n))
+    valid = np.ones((t_dim, n), bool)
+    valid[1, 200:] = False
+
+    got = native.voxelize_host(ev, valid, num_bins=bins, height=h, width=w,
+                               trilinear=True)
+    for i in range(t_dim):
+        ref = voxel_grid_trilinear(
+            EventWindow.from_arrays(ev[i, :, 0], ev[i, :, 1], ev[i, :, 2],
+                                    ev[i, :, 3], valid[i]),
+            num_bins=bins, height=h, width=w)
+        np.testing.assert_allclose(got[i], np.asarray(ref), atol=1e-4)
+
+
+def test_host_voxelize_temporal_parity(rng):
+    import jax.numpy as jnp
+    from ess_tpu.ops.voxel import EventWindow, voxel_grid_temporal
+
+    t_dim, n, h, w, bins = 2, 300, 16, 16, 5
+    ev = np.zeros((t_dim, n, 4), np.float32)
+    ev[..., 0] = rng.integers(0, w, (t_dim, n))
+    ev[..., 1] = rng.integers(0, h, (t_dim, n))
+    ev[..., 2] = np.sort(rng.uniform(0, 1e4, (t_dim, n)), axis=-1)
+    ev[..., 3] = rng.integers(0, 2, (t_dim, n))
+    valid = np.ones((t_dim, n), bool)
+
+    for sep in (False, True):
+        got = native.voxelize_host(ev, valid, num_bins=bins, height=h, width=w,
+                                   separate_pol=sep)
+        for i in range(t_dim):
+            ref = voxel_grid_temporal(
+                EventWindow.from_arrays(ev[i, :, 0], ev[i, :, 1], ev[i, :, 2],
+                                        ev[i, :, 3], valid[i]),
+                num_bins=bins, height=h, width=w, separate_pol=sep)
+            np.testing.assert_allclose(got[i], np.asarray(ref), atol=1e-4)
