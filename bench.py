@@ -14,12 +14,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 ``BASELINE_WINDOWS_PER_SEC`` documents our estimate of the PyTorch
-reference's DSEC supervised training throughput on its single-GPU setup:
-the pipeline voxelizes on CPU in DataLoader workers (~112 MB event tensor
-per sample, DSEC/dataset/sequence.py:255-287, joblib 8 threads ~ 0.5-1 s per
-8-sample batch) overlapped with a 20-iteration Python loop of E2VID forwards
-+ decoder backward (~0.4 s/batch on a 2080Ti-class GPU); net ~1 s per 160
-windows => ~160 windows/s. Target from BASELINE.json: >= 5x => >= 800.
+reference's DSEC supervised training throughput, grounded by measurement:
+the reference's own VoxelGrid.convert (DSEC/dataset/representations.py:15-55)
+measured 40 ms per 100k-event window single-threaded on this host => its
+joblib-8-thread ingest tops out at ~200 windows/s BEFORE any GPU compute
+(the 20-iteration Python loop of E2VID forwards adds ~0.3-0.5 s/batch on a
+2080Ti-class GPU). Net sustained: ~160 windows/s. Target from BASELINE.json:
+>= 5x => >= 800.
 """
 
 import json
@@ -84,15 +85,16 @@ def main() -> None:
             rng.integers(0, NUM_CLASSES, (BATCH, 440, 640)), jnp.int32),
     }
 
-    # compile + warmup
-    state, _ = step(state, batch)
-    jax.block_until_ready(state)
+    # compile + warmup (fetch the loss scalar: on tunneled backends
+    # block_until_ready does not actually synchronize)
+    state, out = step(state, batch)
+    float(out["loss"])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = step(state, batch)
-    jax.block_until_ready(state)
+        float(out["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     windows_per_sec = BATCH * WINDOWS / dt

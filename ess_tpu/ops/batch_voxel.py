@@ -64,6 +64,56 @@ def _normalize_flat(grid: jax.Array) -> jax.Array:
     return jnp.where((num > 0)[:, None, None], out, grid)
 
 
+def _use_pallas_default() -> bool:
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
+def _voxelize_pallas(
+    x, y, t, p, valid, *, num_bins, height, width, separate_pol, trilinear,
+    interpret: bool = False,
+):
+    """Route through the tiled Pallas kernel (ops.voxel_pallas).
+
+    The kernel needs H % 8 == 0 and W % 128 == 0; smaller sensors (DDD17's
+    260x346) voxelize into a padded grid and crop — events never land in the
+    pad so the crop is exact. The temporal-bilinear variant is the same
+    kernel with integer coords (zero spatial fractions); separate_pol folds
+    the polarity into the channel axis by shifting the normalized time by
+    ``num_bins`` for negative events.
+    """
+    from ess_tpu.ops.voxel_pallas import voxelize_trilinear_pallas, voxelize_tiled, bin_events_device
+
+    hp = ((height + 7) // 8) * 8
+    wp = ((width + 127) // 128) * 128
+
+    ok = valid & (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    ts = _masked_time_norm(t.astype(jnp.float32), valid, num_bins)
+    pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
+
+    if not trilinear:
+        # integer coords => zero spatial fractions => pure temporal bilinear
+        x = jnp.floor(x.astype(jnp.float32))
+        y = jnp.floor(y.astype(jnp.float32))
+        ts = jnp.clip(ts, 0.0, num_bins - 1)
+
+    bins_eff = num_bins
+    if separate_pol and not trilinear:
+        ts = ts + jnp.where(pol < 0, float(num_bins), 0.0)
+        pol = jnp.ones_like(pol)
+        bins_eff = 2 * num_bins
+
+    xs, ys, tss, ps, offsets = jax.vmap(
+        lambda a, b_, c, d, v: bin_events_device(
+            a, b_, c, d, v, height=hp, width=wp)
+    )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
+      jnp.where(ok, pol, 0.0), ok)
+    grid = voxelize_tiled(xs, ys, tss, ps, offsets,
+                          bins=bins_eff, height=hp, width=wp,
+                          interpret=interpret)
+    return grid[:, :, :height, :width]  # (B, C, H, W)
+
+
 def voxelize_window_soa(
     x: jax.Array,
     y: jax.Array,
@@ -79,6 +129,8 @@ def voxelize_window_soa(
     trilinear: bool = False,
     rectify_map: Optional[jax.Array] = None,
     normalize: bool = False,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -101,6 +153,20 @@ def voxelize_window_soa(
         trilinear = True
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas and representation != "histogram":
+        grid = _voxelize_pallas(
+            x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
+            separate_pol=separate_pol, trilinear=trilinear,
+            interpret=pallas_interpret)
+        flat = grid.reshape(grid.shape[0], grid.shape[1], -1)
+        if normalize:
+            flat = _normalize_flat(flat)
+        return jnp.moveaxis(
+            flat.reshape(grid.shape[0], grid.shape[1], height, width), 1, -1)
+
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
     cells = height * width
 

@@ -1,0 +1,276 @@
+"""Fused Pallas TPU voxelization kernel (tile-binned, MXU scatter).
+
+The hot op of ESS ingest is the trilinear scatter-add of ~100k events x 8
+corners per window (DSEC/dataset/representations.py:33-43 semantics). XLA's
+TPU scatter executes ~1 update / ~10 ns (serialized), costing ~70 ms per
+8-sample window-batch — ~80% of the DSEC train step.
+
+This kernel reformulates the scatter as dense MXU work:
+
+1. Events are pre-binned by spatial tile (TILE_H x TILE_W = 8 x 128 pixels);
+   binning is one fast ``lax.sort`` on-device (~6 ms for 800k events) or
+   free on the host during ingest.
+2. One Pallas program per (sample, supertile of K tiles) streams its event
+   blocks HBM->VMEM with double-buffered DMA (all four event fields in one
+   stacked copy).
+3. The 8 trilinear corners factor separably: corner rows (t-bin, y) with
+   weight pol*wt*wy, corner cols x with weight wx. Each 1024-event block
+   builds a row-one-hot R (E, BINS*(TILE_H+1)) and a col-one-hot C
+   (E, K*(TILE_W+8)) on the VPU and accumulates R^T @ C on the MXU —
+   8 serial updates/event become fused MACs at matmul speed.
+4. Tiles carry a +1 halo row/col (corners crossing a tile edge); a cheap
+   dense XLA pass folds halos into neighbouring tiles afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+CHUNK = 1024      # events per DMA block (HBM 1-D tiling granule)
+K_TILES = 4       # spatial tiles per program
+COL_SLOT = TILE_W + 8   # per-tile column slot in the accumulator (128+halo+pad)
+
+
+def _row_pad(bins: int) -> int:
+    rows = bins * (TILE_H + 1)
+    return ((rows + 7) // 8) * 8
+
+
+def tile_id(x, y, width: int) -> jax.Array:
+    """Spatial tile index of an event's floor coordinate."""
+    tiles_x = width // TILE_W
+    tx = jnp.clip(x.astype(jnp.int32) // TILE_W, 0, tiles_x - 1)
+    ty = y.astype(jnp.int32) // TILE_H
+    return ty * tiles_x + tx
+
+
+def bin_events_device(
+    x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
+    valid: jax.Array, *, height: int, width: int,
+) -> Tuple[jax.Array, ...]:
+    """Sort one sample's events by spatial tile on-device.
+
+    Invalid events sort to the end (tile id = n_tiles). Returns sorted
+    (x, y, ts, pol) and the (n_tiles + 1,) int32 offsets array.
+    """
+    n_tiles = (height // TILE_H) * (width // TILE_W)
+    tid = jnp.where(valid, tile_id(x, y, width), n_tiles)
+    tid, xs, ys, tss, ps = jax.lax.sort(
+        (tid, x, y, ts, pol), num_keys=1)
+    offsets = jnp.searchsorted(
+        tid, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return xs, ys, tss, ps, offsets
+
+
+def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
+            bins: int, height: int, width: int, n_pad: int, k_tiles: int,
+            oh_dtype=jnp.float32):
+    b = pl.program_id(0)
+    sup = pl.program_id(1)
+    n_tiles_x = width // TILE_W
+    tid0 = sup * k_tiles
+
+    start = offs_ref[b, tid0]
+    end = offs_ref[b, tid0 + k_tiles]
+    size = end - start
+
+    rows = _row_pad(bins)
+    cols = k_tiles * COL_SLOT
+    acc0 = jnp.zeros((rows, cols), jnp.float32)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rows), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cols), 1)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+
+    first_blk = start // CHUNK
+    last_blk = jnp.maximum(end - 1, start) // CHUNK
+    nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
+
+    def dma(blk_i, slot):
+        s = b * n_pad + (first_blk + blk_i) * CHUNK
+        return pltpu.make_async_copy(
+            ev_ref.at[:, pl.ds(s, CHUNK)], buf.at[slot], sems.at[slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def chunk_body(ci, acc):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nblocks)
+        def _():
+            dma(ci + 1, (ci + 1) % 2).start()
+
+        dma(ci, slot).wait()
+
+        ex = buf[slot, 0]
+        ey = buf[slot, 1]
+        ts = buf[slot, 2]
+        pol = buf[slot, 3]
+
+        gpos = (first_blk + ci) * CHUNK + pos_iota
+        in_range = (gpos >= start) & (gpos < end)
+
+        xi = jnp.floor(ex).astype(jnp.int32)
+        yi = jnp.floor(ey).astype(jnp.int32)
+        tx = jnp.clip(xi // TILE_W, 0, n_tiles_x - 1)
+        ty = yi // TILE_H
+        tid = ty * n_tiles_x + tx
+        slot_idx = tid - tid0          # 0..k_tiles-1 for in-range events
+
+        xl = ex - (tx * TILE_W).astype(jnp.float32)
+        yl = ey - (ty * TILE_H).astype(jnp.float32)
+        x0 = jnp.floor(xl).astype(jnp.int32)
+        y0 = jnp.floor(yl).astype(jnp.int32)
+        c0 = jnp.floor(ts).astype(jnp.int32)
+        wx1 = xl - x0.astype(jnp.float32)
+        wy1 = yl - y0.astype(jnp.float32)
+        wt1 = ts - c0.astype(jnp.float32)
+
+        col_base = slot_idx * COL_SLOT + x0
+        ohc = (jnp.where(col_iota == col_base[:, None], 1.0 - wx1[:, None], 0.0)
+               + jnp.where(col_iota == col_base[:, None] + 1, wx1[:, None], 0.0))
+
+        ohr = jnp.zeros((CHUNK, rows), jnp.float32)
+        base = jnp.where(in_range, pol, 0.0)
+        for dc, wt in ((0, 1.0 - wt1), (1, wt1)):
+            cc = c0 + dc
+            cok = (cc >= 0) & (cc < bins)
+            for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+                r = cc * (TILE_H + 1) + (y0 + dy)
+                w = jnp.where(cok, base * wt * wy, 0.0)
+                ohr = ohr + jnp.where(row_iota == r[:, None], w[:, None], 0.0)
+
+        return acc + jax.lax.dot_general(
+            ohr.astype(oh_dtype), ohc.astype(oh_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nblocks, chunk_body, acc0)
+    out_ref[0, 0] = acc
+
+
+def voxelize_tiled(
+    x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
+    offsets: jax.Array, *, bins: int, height: int, width: int,
+    interpret: bool = False, oh_dtype=jnp.float32,
+) -> jax.Array:
+    """(B, N) tile-sorted events + (B, n_tiles+1) offsets -> (B, bins, H, W).
+
+    ``ts`` is the normalized time in [0, bins-1]; ``pol`` the signed value
+    (+-1, zeroed for invalid events); events must be sorted by ``tile_id``
+    with ``offsets`` delimiting each tile's slice.
+    """
+    b, n = x.shape
+    assert height % TILE_H == 0 and width % TILE_W == 0, (height, width)
+    n_tiles = (height // TILE_H) * (width // TILE_W)
+    k_tiles = next(k for k in range(min(K_TILES, n_tiles), 0, -1)
+                   if n_tiles % k == 0)
+    rows = _row_pad(bins)
+    cols = k_tiles * COL_SLOT
+    n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+
+    # one stacked (4, B*n_pad) buffer => a single DMA fetches all fields
+    ev = jnp.stack([
+        jnp.pad(a.astype(jnp.float32), ((0, 0), (0, n_pad - n))).reshape(-1)
+        for a in (x, y, ts, pol)
+    ])
+
+    grid = (b, n_tiles // k_tiles)
+    out = pl.pallas_call(
+        functools.partial(_kernel, bins=bins, height=height, width=width,
+                          n_pad=n_pad, k_tiles=k_tiles, oh_dtype=oh_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, 1, rows, cols), lambda b_, t_, offs: (b_, t_, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, CHUNK), jnp.float32),  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_tiles // k_tiles, rows, cols), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(offsets, ev)
+
+    return _fold_halo(out, bins=bins, height=height, width=width)
+
+
+def _fold_halo(tiles: jax.Array, *, bins: int, height: int, width: int) -> jax.Array:
+    """(B, n_super, rows_pad, K*COL_SLOT) accumulators -> (B, bins, H, W).
+
+    Each tile slot holds (TILE_H+1) rows x (TILE_W+1) cols per bin; the +1
+    halo row/col belongs to the neighbouring tile below/right.
+    """
+    b = tiles.shape[0]
+    th, tw = TILE_H, TILE_W
+    n_ty, n_tx = height // th, width // tw
+    t = tiles.reshape(b, -1, tiles.shape[2], tiles.shape[3] // COL_SLOT, COL_SLOT)
+    t = jnp.moveaxis(t, 3, 2)                    # (b, n_super, K, rows, slot)
+    t = t.reshape(b, n_ty, n_tx, tiles.shape[2], COL_SLOT)
+    t = t[:, :, :, : bins * (th + 1), : tw + 1]
+    t = t.reshape(b, n_ty, n_tx, bins, th + 1, tw + 1)
+
+    core = t[..., :th, :tw]
+    halo_y = t[..., th, :tw]
+    halo_x = t[..., :th, tw]
+    halo_yx = t[..., th, tw]
+
+    add_y = jnp.zeros_like(core)
+    add_y = add_y.at[:, 1:, :, :, 0, :].set(halo_y[:, :-1])
+    add_x = jnp.zeros_like(core)
+    add_x = add_x.at[:, :, 1:, :, :, 0].set(halo_x[:, :, :-1])
+    add_yx = jnp.zeros_like(core)
+    add_yx = add_yx.at[:, 1:, 1:, :, 0, 0].set(halo_yx[:, :-1, :-1])
+
+    full = core + add_y + add_x + add_yx
+    full = jnp.moveaxis(full, 3, 1)               # (b, bins, ty, tx, th, tw)
+    full = jnp.moveaxis(full, 4, 3)               # (b, bins, ty, th, tx, tw)
+    return full.reshape(b, bins, height, width)
+
+
+def voxelize_trilinear_pallas(
+    x: jax.Array, y: jax.Array, t: jax.Array, p: jax.Array,
+    valid: jax.Array, *, num_bins: int, height: int, width: int,
+    offsets: Optional[jax.Array] = None, interpret: bool = False,
+) -> jax.Array:
+    """Drop-in trilinear voxelizer: (B, N) SoA events -> (B, bins, H, W).
+
+    When ``offsets`` is None the events are tile-binned on-device first
+    (one lax.sort). Semantics match ops.voxel.voxel_grid_trilinear.
+    """
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    t = t.astype(jnp.float32)
+    t0 = jnp.min(jnp.where(valid, t, big), axis=-1, keepdims=True)
+    t1 = jnp.max(jnp.where(valid, t, -big), axis=-1, keepdims=True)
+    delta = jnp.where(t1 - t0 <= 0, 1.0, t1 - t0)
+    ts = (num_bins - 1) * (t - t0) / delta
+    pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
+
+    ok = (valid & (x >= 0) & (x < width) & (y >= 0) & (y < height))
+    if offsets is None:
+        xs, ys, tss, ps, offsets = jax.vmap(
+            lambda a, b_, c, d, v: bin_events_device(
+                a, b_, c, d, v, height=height, width=width)
+        )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
+          jnp.where(ok, pol, 0.0), ok)
+    else:
+        xs, ys, tss, ps = (x.astype(jnp.float32), y.astype(jnp.float32), ts,
+                           jnp.where(ok, pol, 0.0))
+    return voxelize_tiled(xs, ys, tss, ps, offsets,
+                          bins=num_bins, height=height, width=width,
+                          interpret=interpret)
