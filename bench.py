@@ -75,12 +75,29 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     shape = (BATCH, WINDOWS, EVENTS_PER_WINDOW)
+    raw = np.zeros(shape + (4,), np.float32)
+    raw[..., 0] = rng.uniform(0, SENSOR_W - 1, shape)
+    raw[..., 1] = rng.uniform(0, SENSOR_H - 1, shape)
+    raw[..., 2] = np.sort(rng.uniform(0, 5e4, shape), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, shape)
+    valid = np.ones(shape, bool)
+
+    # host tile binning, exactly as the DSEC loader does in worker threads
+    from ess_tpu.ops.voxel_pallas import host_tile_bin
+    sraw = np.empty_like(raw)
+    svalid = np.empty_like(valid)
+    offs = []
+    for b in range(BATCH):
+        sraw[b], svalid[b], o = host_tile_bin(
+            raw[b], valid[b], height=SENSOR_H, width=SENSOR_W)
+        offs.append(o)
     batch = {
-        "ev_x": jnp.asarray(rng.uniform(0, SENSOR_W - 1, shape), jnp.float32),
-        "ev_y": jnp.asarray(rng.uniform(0, SENSOR_H - 1, shape), jnp.float32),
-        "ev_t": jnp.asarray(np.sort(rng.uniform(0, 5e4, shape)), jnp.float32),
-        "ev_p": jnp.asarray(rng.integers(0, 2, shape), jnp.float32),
-        "ev_valid": jnp.asarray(np.ones(shape, bool)),
+        "ev_x": jnp.asarray(sraw[..., 0]),
+        "ev_y": jnp.asarray(sraw[..., 1]),
+        "ev_t": jnp.asarray(sraw[..., 2]),
+        "ev_p": jnp.asarray(sraw[..., 3]),
+        "ev_valid": jnp.asarray(svalid),
+        "ev_tile_offsets": jnp.asarray(np.stack(offs)),
         "label": jnp.asarray(
             rng.integers(0, NUM_CLASSES, (BATCH, 440, 640)), jnp.int32),
     }

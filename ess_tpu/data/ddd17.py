@@ -62,6 +62,7 @@ class DDD17Events:
         fixed_duration: bool = False,
         delta_t_per_data: int = 50,
         require_paired_data: bool = False,
+        tile_bin: bool = True,
     ):
         data_dirs = sorted(glob.glob(os.path.join(root, "dir*")))
         assert len(data_dirs) > 0, f"no DDD17 'dir*' folders under {root}"
@@ -71,6 +72,7 @@ class DDD17Events:
         self.nr_events_window = nr_events_window
         self.fixed_duration = fixed_duration
         self.require_paired_data = require_paired_data
+        self.tile_bin = tile_bin
 
         t_interval = nr_events_data * delta_t_per_data if fixed_duration else 50
         self.dirs = get_split_dirs(data_dirs, split)
@@ -132,6 +134,11 @@ class DDD17Events:
             "valid": valid,
             "label": label.astype(np.uint8),
         }
+        if self.tile_bin:
+            from ess_tpu.ops.voxel_pallas import host_tile_bin
+            raw, valid, offsets = host_tile_bin(
+                raw, valid, height=SENSOR_SHAPE[0], width=SENSOR_SHAPE[1])
+            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         if self.split == "valid" and self.require_paired_data:
             img = self._paired_frame(mask_file)
             if img is not None:

@@ -53,12 +53,14 @@ class DSECSequence:
         delta_t_per_data: int = 50,
         semseg_num_classes: int = 11,
         remove_time_window: int = 250,
+        tile_bin: bool = True,
     ):
         self.seq_path = seq_path
         self.mode = mode
         self.nr_events_data = nr_events_data
         self.nr_events_window = nr_events_window
         self.fixed_duration = fixed_duration
+        self.tile_bin = tile_bin
         self.delta_t_us = nr_events_data * delta_t_per_data * 1000
 
         ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
@@ -118,7 +120,14 @@ class DSECSequence:
             chunks = [events[i * per: (i + 1) * per] for i in range(t_dim)]
 
         raw, valid = pad_windows(chunks, self.nr_events_window)
-        return {"raw_events": raw, "valid": valid, "label": label}
+        out = {"raw_events": raw, "valid": valid, "label": label}
+        if self.tile_bin:
+            # pre-sort by kernel tile so the device skips its lax.sort
+            from ess_tpu.ops.voxel_pallas import host_tile_bin
+            raw, valid, offsets = host_tile_bin(
+                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH)
+            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+        return out
 
 
 class DSECEvents:

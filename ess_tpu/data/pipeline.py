@@ -87,6 +87,10 @@ def to_soa(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out["ev_t"] = np.ascontiguousarray(raw[..., 2])
     out["ev_p"] = np.ascontiguousarray(raw[..., 3])
     out["ev_valid"] = np.ascontiguousarray(batch["valid"])
+    # host-binned tile offsets ride along when the loader produced them
+    if "tile_offsets" in batch:
+        out["ev_tile_offsets"] = batch["tile_offsets"]
+        out.pop("tile_offsets", None)
     return out
 
 
@@ -157,10 +161,11 @@ class EventPipeline:
     def make_window_fn(
         self, aug: AugmentParams
     ) -> Callable[..., jax.Array]:
-        """fn(x, y, t, p, valid) each (B, N) -> (B, H_out, W_out, C)."""
+        """fn(x, y, t, p, valid, tile_offsets=None) each (B, N)
+        -> (B, H_out, W_out, C)."""
         cfg = self.cfg
 
-        def fn(x, y, t, p, valid):
+        def fn(x, y, t, p, valid, tile_offsets=None):
             grids = voxelize_window_soa(
                 x, y, t, p, valid,
                 num_bins=cfg.num_bins,
@@ -170,6 +175,7 @@ class EventPipeline:
                 trilinear=cfg.trilinear,
                 rectify_map=self.rectify_map if cfg.rectify else None,
                 normalize=cfg.normalize,
+                tile_offsets=tile_offsets,
             )
             return self._transform_grid(grids, aug)
 

@@ -71,7 +71,7 @@ def _use_pallas_default() -> bool:
 
 def _voxelize_pallas(
     x, y, t, p, valid, *, num_bins, height, width, separate_pol, trilinear,
-    interpret: bool = False,
+    tile_offsets=None, interpret: bool = False,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -103,11 +103,17 @@ def _voxelize_pallas(
         pol = jnp.ones_like(pol)
         bins_eff = 2 * num_bins
 
-    xs, ys, tss, ps, offsets = jax.vmap(
-        lambda a, b_, c, d, v: bin_events_device(
-            a, b_, c, d, v, height=hp, width=wp)
-    )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
-      jnp.where(ok, pol, 0.0), ok)
+    if tile_offsets is None:
+        xs, ys, tss, ps, offsets = jax.vmap(
+            lambda a, b_, c, d, v: bin_events_device(
+                a, b_, c, d, v, height=hp, width=wp)
+        )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
+          jnp.where(ok, pol, 0.0), ok)
+    else:
+        # events arrive tile-sorted from the host loader (host_tile_bin)
+        xs, ys, tss, ps = (x.astype(jnp.float32), y.astype(jnp.float32), ts,
+                           jnp.where(ok, pol, 0.0))
+        offsets = tile_offsets
     grid = voxelize_tiled(xs, ys, tss, ps, offsets,
                           bins=bins_eff, height=hp, width=wp,
                           interpret=interpret)
@@ -130,6 +136,7 @@ def voxelize_window_soa(
     rectify_map: Optional[jax.Array] = None,
     normalize: bool = False,
     use_pallas: Optional[bool] = None,
+    tile_offsets: Optional[jax.Array] = None,
     pallas_interpret: bool = False,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
@@ -160,7 +167,7 @@ def voxelize_window_soa(
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
-            interpret=pallas_interpret)
+            tile_offsets=tile_offsets, interpret=pallas_interpret)
         flat = grid.reshape(grid.shape[0], grid.shape[1], -1)
         if normalize:
             flat = _normalize_flat(flat)

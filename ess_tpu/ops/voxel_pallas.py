@@ -71,6 +71,43 @@ def bin_events_device(
     return xs, ys, tss, ps, offsets
 
 
+def host_tile_bin(raw_windows, valid, *, height: int, width: int):
+    """Host-side tile binning of (T, N, 4) raw windows for the kernel.
+
+    Sorts each window's VALID in-frame events by ``tile_id`` on the padded
+    (kernel-aligned) grid and returns (raw_sorted, valid_sorted, offsets)
+    with offsets of shape (T, n_tiles + 1) int32. Runs in loader worker
+    threads, overlapped with device compute — this removes the on-device
+    ``lax.sort`` (~5 ms/window-batch) from the train step.
+    """
+    import numpy as np
+
+    hp = ((height + TILE_H - 1) // TILE_H) * TILE_H
+    wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
+    ntx = wp // TILE_W
+    n_tiles = (hp // TILE_H) * ntx
+
+    t_dim, n = raw_windows.shape[:2]
+    out = np.zeros_like(raw_windows)
+    out_valid = np.zeros_like(valid)
+    offsets = np.zeros((t_dim, n_tiles + 1), np.int32)
+    for i in range(t_dim):
+        w = raw_windows[i]
+        ok = (valid[i] & (w[:, 0] >= 0) & (w[:, 0] < width)
+              & (w[:, 1] >= 0) & (w[:, 1] < height))
+        ev = w[ok]
+        tx = np.clip(ev[:, 0].astype(np.int64) // TILE_W, 0, ntx - 1)
+        ty = ev[:, 1].astype(np.int64) // TILE_H
+        tid = ty * ntx + tx
+        order = np.argsort(tid, kind="stable")
+        m = len(ev)
+        out[i, :m] = ev[order]
+        out_valid[i, :m] = True
+        offsets[i] = np.searchsorted(
+            tid[order], np.arange(n_tiles + 1)).astype(np.int32)
+    return out, out_valid, offsets
+
+
 def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
             bins: int, height: int, width: int, n_pad: int, k_tiles: int,
             oh_dtype=jnp.float32):

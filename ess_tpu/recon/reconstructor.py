@@ -125,9 +125,11 @@ class Reconstructor:
         def get_window(i):
             take = lambda a: jax.lax.dynamic_index_in_dim(
                 a, i, axis=1, keepdims=False)
+            offs = (take(soa["ev_tile_offsets"])
+                    if "ev_tile_offsets" in soa else None)
             return voxel_fn(take(soa["ev_x"]), take(soa["ev_y"]),
                             take(soa["ev_t"]), take(soa["ev_p"]),
-                            take(soa["ev_valid"]))
+                            take(soa["ev_valid"]), tile_offsets=offs)
 
         def body(carry, i):
             _, new_state, _ = self.step(params, get_window(i), carry, decode=False)

@@ -1,0 +1,54 @@
+"""End-to-end learning test: the supervised pipeline must overfit a tiny
+synthetic dataset (voxelize -> recurrent rollout -> head -> loss -> RAdam),
+driving train loss down and mIoU far above chance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ess_tpu.data.loader import BatchLoader
+from ess_tpu.data.pipeline import EventPipeline, PipelineConfig, to_soa
+from ess_tpu.data.synthetic import SyntheticEvents
+from ess_tpu.train import supervised as sup
+from ess_tpu.train.builder import build_modules, init_state
+from ess_tpu.train.metrics import MetricsSemseg
+from tests.test_train_steps import tiny_config
+
+
+def test_supervised_overfits_synthetic():
+    cfg = tiny_config()
+    cfg = cfg.replace(optim=cfg.optim.__class__(
+        **{**cfg.optim.__dict__, "lr_back": 1e-2}))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=16, sensor_width=16, num_bins=5, normalize=True))
+
+    ds = SyntheticEvents(length=2, height=16, width=16, nr_events_data=2,
+                         nr_events_window=256, num_classes=6)
+    batch = to_soa(next(iter(BatchLoader(ds, 2, shuffle=False))))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    train = sup.make_train_step(mods, pipe)
+    ev = sup.make_eval_step(mods, pipe)
+
+    out0 = ev(state, batch)
+    m0 = MetricsSemseg(6, 255, cfg.task.class_names)
+    m0.update_confusion(np.asarray(out0["cm"]))
+    miou0 = m0.summary()["mean_iou"]
+    loss0 = float(out0["loss"])
+
+    losses = []
+    for _ in range(200):
+        state, out = train(state, batch)
+        losses.append(float(out["loss"]))
+
+    out1 = ev(state, batch)
+    m1 = MetricsSemseg(6, 255, cfg.task.class_names)
+    m1.update_confusion(np.asarray(out1["cm"]))
+    miou1 = m1.summary()["mean_iou"]
+    loss1 = float(out1["loss"])
+
+    assert loss1 < 0.7 * loss0, (loss0, loss1, losses[-5:])
+    assert miou1 > miou0 + 10, (miou0, miou1)
+    assert miou1 > 35, miou1

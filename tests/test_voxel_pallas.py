@@ -65,3 +65,34 @@ def test_pallas_normalize(rng):
     arr = np.asarray(g[0])
     nz = arr[arr != 0]
     np.testing.assert_allclose(nz.mean(), 0.0, atol=1e-3)
+
+
+def test_host_tile_bin_offsets_parity(rng):
+    """Host-binned events + offsets produce the same grids as device binning."""
+    import numpy as np
+    from ess_tpu.ops.voxel_pallas import host_tile_bin
+
+    b, n, h, w = 2, 500, 24, 256
+    raw = np.zeros((b, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, n))
+    valid = np.ones((b, n), bool)
+    valid[:, 400:] = False
+
+    sraw, svalid, offs = host_tile_bin(raw, valid, height=h, width=w)
+    assert offs.shape[1] == (24 // 8) * (256 // 128) + 1
+    assert (offs[:, -1] == 400).all()
+
+    args_ref = [jnp.asarray(raw[..., i]) for i in range(4)] + [jnp.asarray(valid)]
+    ref = voxelize_window_soa(*args_ref, num_bins=5, height=h, width=w,
+                              trilinear=True, use_pallas=True,
+                              pallas_interpret=True)
+    args_binned = [jnp.asarray(sraw[..., i]) for i in range(4)] + [jnp.asarray(svalid)]
+    got = voxelize_window_soa(*args_binned, num_bins=5, height=h, width=w,
+                              trilinear=True, use_pallas=True,
+                              tile_offsets=jnp.asarray(offs),
+                              pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
