@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 TILE_W = 128
 CHUNK = 1024      # events per DMA block (HBM 1-D tiling granule)
-K_TILES = 4       # spatial tiles per program
+K_TILES = 15      # spatial tiles per program (sweep-tuned on v5e)
 COL_SLOT = TILE_W + 8   # per-tile column slot in the accumulator (128+halo+pad)
 
 
@@ -174,9 +174,12 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         wy1 = yl - y0.astype(jnp.float32)
         wt1 = ts - c0.astype(jnp.float32)
 
-        col_base = slot_idx * COL_SLOT + x0
-        ohc = (jnp.where(col_iota == col_base[:, None], 1.0 - wx1[:, None], 0.0)
-               + jnp.where(col_iota == col_base[:, None] + 1, wx1[:, None], 0.0))
+        # tent: weight at col c is max(0, 1 - |c - xpos|) for the two
+        # neighbouring integer columns — one arithmetic pass over the wide
+        # (CHUNK, cols) plane instead of two compare-selects
+        xpos = (slot_idx * COL_SLOT + x0).astype(jnp.float32) + wx1
+        ohc = jnp.maximum(
+            0.0, 1.0 - jnp.abs(col_iota.astype(jnp.float32) - xpos[:, None]))
 
         ohr = jnp.zeros((CHUNK, rows), jnp.float32)
         base = jnp.where(in_range, pol, 0.0)
