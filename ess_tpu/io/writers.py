@@ -67,6 +67,11 @@ class MetricsWriter:
                 arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
             self._tb.add_image(tag, arr, step, dataformats="HWC")
 
+    def figure(self, tag: str, fig, step: int) -> None:
+        """Log a matplotlib figure (confusion matrices)."""
+        if self._tb is not None and fig is not None:
+            self._tb.add_figure(tag, fig, step)
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:

@@ -9,7 +9,8 @@ from ess_tpu.models.layers import (
     TransposedConvLayer,
     UpsampleConvLayer,
 )
-from ess_tpu.models.e2vid import RecurrentUNet, UNet, UNetDecoder, zero_recurrent_state
+from ess_tpu.models.e2vid import (RecurrentUNet, UNet, UNetDecoder,
+                                  UNetTaskDecoder, zero_recurrent_state)
 from ess_tpu.models.resnet import ResNet18Encoder
 from ess_tpu.models.seghead import SegmentationHead
 
@@ -26,6 +27,7 @@ __all__ = [
     "RecurrentUNet",
     "UNet",
     "UNetDecoder",
+    "UNetTaskDecoder",
     "zero_recurrent_state",
     "ResNet18Encoder",
     "SegmentationHead",

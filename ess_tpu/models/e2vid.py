@@ -198,6 +198,52 @@ class UNet(nn.Module):
         return img.astype(jnp.float32)
 
 
+class UNetTaskDecoder(nn.Module):
+    """UNet-style multi-scale semantic-segmentation decoder over a latent
+    dict (unet.py:222-279 UNetTask / model.py E2VIDTask capability).
+
+    Consumes the E2VID latent {1, 2, 4, 8} and emits a multi-scale output
+    dict {8: latent, 4: feat, 2: feat, 1: class logits} like the reference's
+    UNetTask (which ESS itself supersedes with SegmentationHead). The
+    reference feeds a hard-coded zero head at full scale (unet.py:264); here
+    the real latent[1] is used — strictly more information, same shapes.
+    """
+
+    num_classes: int
+    base_channels: int = 32
+    num_encoders: int = 3
+    num_residual_blocks: int = 2
+    skip_type: str = "sum"
+    norm: Optional[str] = None
+    use_upsample_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent: Latent, *, train: bool = False) -> Latent:
+        h = latent[2 ** self.num_encoders].astype(self.dtype)
+        out: Latent = {2 ** self.num_encoders: latent[2 ** self.num_encoders]}
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(self.base_channels * 2 ** self.num_encoders,
+                              norm=self.norm, dtype=self.dtype,
+                              name=f"resblock_{i}")(h, train=train)
+        Up = UpsampleConvLayer if self.use_upsample_conv else TransposedConvLayer
+        for i in range(self.num_encoders):
+            h = Up(
+                self.base_channels * 2 ** (self.num_encoders - i) // 2,
+                kernel_size=5, activation="relu", norm=self.norm,
+                dtype=self.dtype, name=f"decoder_{i}",
+            )(skip_merge(self.skip_type, h, latent[2 ** (self.num_encoders - i)]),
+              train=train)
+            out[2 ** (self.num_encoders - i - 1)] = h
+        h = skip_merge(self.skip_type, h, latent[1])
+        h = ConvLayer(self.base_channels, kernel_size=1, activation="relu",
+                      dtype=self.dtype, name="pred_hidden")(h, train=train)
+        logits = ConvLayer(self.num_classes, kernel_size=1, activation=None,
+                           dtype=self.dtype, name="pred")(h, train=train)
+        out[1] = logits.astype(jnp.float32)
+        return out
+
+
 class UNetDecoder(nn.Module):
     """Decoder-only variant (unet.py:183-219, E2VIDDecoder model.py:103-139):
     consumes a latent dict produced elsewhere and decodes an image."""

@@ -156,16 +156,25 @@ class Trainer:
                                 task.class_names)
             m_cycle = MetricsSemseg(task.semseg_num_classes,
                                     task.semseg_ignore_label, task.class_names)
+            logged_images = False
             for batch in _device_batches(self.val_b, self._sharding):
                 out = self.eval_step_b(self.state, batch)
                 key = "cm_b" if "cm_b" in out else "cm"
                 m_b.update_confusion(np.asarray(out[key]))
                 if "cm_cycle" in out:
                     m_cycle.update_confusion(np.asarray(out["cm_cycle"]))
+                if not logged_images:
+                    self._log_val_images(batch, out)
+                    logged_images = True
             s = m_b.summary()
             summary["semseg_sensor_b_mean_iou"] = s["mean_iou"]
             summary["semseg_sensor_b_acc"] = s["acc"]
             summary["cm_b"] = s["cm"]
+            from ess_tpu.utils import viz
+            self.writer.figure(
+                "val_events/semseg_cm",
+                viz.confusion_matrix_figure(s["cm"], task.class_names),
+                self.step_count)
             if m_cycle.confusion.sum() > 0:
                 sc = m_cycle.summary()
                 summary["semseg_sensor_cycle_mean_iou"] = sc["mean_iou"]
@@ -174,6 +183,28 @@ class Trainer:
             if np.ndim(v) == 0:
                 self.writer.scalar(f"val/{k}", float(v), self.step_count)
         return summary
+
+    def _log_val_images(self, batch: dict, out: dict) -> None:
+        """Validation image grids (ess_trainer.py:546-603 parity):
+        reconstruction, colorized prediction, colorized GT, cm figure."""
+        from ess_tpu.utils import viz
+
+        cmap = self.cfg.task.color_map
+        ignore = self.cfg.task.semseg_ignore_label
+        tiles = []
+        n = 4
+        if "img_fake" in out:
+            imgs = np.asarray(out["img_fake"])[:n, :, :, 0]
+            tiles += [np.repeat(i[..., None], 3, -1) for i in imgs]
+        if "pred" in out:
+            for p in np.asarray(out["pred"])[:n]:
+                tiles.append(viz.colorize_semseg(p, cmap, ignore) / 255.0)
+        if "label" in batch:
+            for l in np.asarray(batch["label"])[:n]:
+                tiles.append(viz.colorize_semseg(l, cmap, ignore) / 255.0)
+        if tiles:
+            self.writer.image("val/sensor_b", viz.make_grid(tiles, nrow=n),
+                              self.step_count)
 
     def run(self) -> dict:
         """Full training: epochs with periodic validation + checkpoints

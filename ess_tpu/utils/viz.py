@@ -78,6 +78,36 @@ def make_grid(images: Sequence[np.ndarray], nrow: int = 4,
     return grid
 
 
+def latent_pca_rgb(latent_nhwc: np.ndarray) -> np.ndarray:
+    """Project a (H, W, C) latent onto its top-3 PCA components as RGB.
+
+    Parity with the reference's latent-space visualization
+    (base_trainer.py:556-583): per-feature-map PCA over spatial positions,
+    min-max scaled per channel.
+    """
+    h, w, c = latent_nhwc.shape
+    flat = latent_nhwc.reshape(-1, c).astype(np.float64)
+    flat = flat - flat.mean(axis=0)
+    # top-3 principal directions via SVD of the (pixels, C) matrix
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    proj = flat @ vt[:3].T  # (pixels, 3)
+    proj = proj.reshape(h, w, 3)
+    lo = proj.min(axis=(0, 1), keepdims=True)
+    hi = proj.max(axis=(0, 1), keepdims=True)
+    return ((proj - lo) / np.clip(hi - lo, 1e-12, None)).astype(np.float32)
+
+
+def embedding_dump(latents: np.ndarray, labels: Optional[np.ndarray],
+                   path: str) -> None:
+    """Write (N, D) embeddings (+ labels) as TSV for projector tools —
+    the reference's add_embedding dump (base_trainer.py:502-515)."""
+    np.savetxt(path, latents.reshape(len(latents), -1), delimiter="\t", fmt="%.5f")
+    if labels is not None:
+        with open(path + ".labels.tsv", "w") as f:
+            for l in labels:
+                f.write(f"{l}\n")
+
+
 def confusion_matrix_figure(cm: np.ndarray, class_names: Sequence[str],
                             normalize: bool = True):
     """matplotlib figure of a confusion matrix (viz_utils.py:148-182).

@@ -145,3 +145,41 @@ def test_reconstructor_nondivisible_shape_pads():
     img, _, latent = recon.rollout(params, windows)
     assert img.shape == (1, 16, 24, 1)
     assert latent[1].shape == (1, 16, 24, 8)
+
+
+def test_unet_task_decoder_multiscale():
+    from ess_tpu.models import UNetTaskDecoder
+    dec = UNetTaskDecoder(num_classes=13, base_channels=8, num_encoders=3)
+    latent = {
+        1: jnp.ones((2, 16, 16, 8)),
+        2: jnp.ones((2, 8, 8, 16)),
+        4: jnp.ones((2, 4, 4, 32)),
+        8: jnp.ones((2, 2, 2, 64)),
+    }
+    params = dec.init(KEY, latent)
+    out = dec.apply(params, latent)
+    assert out[1].shape == (2, 16, 16, 13)
+    assert out[2].shape[1:3] == (8, 8)
+    assert out[4].shape[1:3] == (4, 4)
+    assert out[8].shape == (2, 2, 2, 64)
+
+
+def test_unet_plain_forward():
+    from ess_tpu.models import UNet
+    model = UNet(base_channels=8, num_encoders=3)
+    x = jnp.ones((1, 16, 16, 5))
+    params = model.init(KEY, x)
+    img = model.apply(params, x)
+    assert img.shape == (1, 16, 16, 1)
+    assert float(img.min()) >= 0 and float(img.max()) <= 1
+
+
+def test_conv_gru_cell():
+    from ess_tpu.models import ConvGRUCell
+    cell = ConvGRUCell(hidden=8)
+    x = jnp.ones((2, 8, 8, 4))
+    h0 = jnp.zeros((2, 8, 8, 8))
+    params = cell.init(KEY, x, h0)
+    out, h1 = cell.apply(params, x, h0)
+    assert out.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h1))
