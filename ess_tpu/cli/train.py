@@ -64,19 +64,9 @@ def build_loaders(cfg, for_train=True):
 
     train_a = val_a = None
     if cfg.model.model_name == "ess":
-        from ess_tpu.data.cityscapes import CityscapesGray
         ds_a = cfg.dataset.sensor_a
         h, w = ds_a.shape
-        set_a = CityscapesGray(ds_a.dataset_path, height=h, width=w,
-                               split="train",
-                               semseg_num_classes=cfg.task.semseg_num_classes,
-                               augmentation=cfg.model.data_augmentation_train,
-                               random_crop=ds_a.random_crop, seed=cfg.seed)
-        set_a_val = CityscapesGray(ds_a.dataset_path, height=h, width=w,
-                                   split="val",
-                                   semseg_num_classes=cfg.task.semseg_num_classes,
-                                   augmentation=False,
-                                   random_crop=ds_a.random_crop)
+        set_a, set_a_val = _image_datasets(cfg, ds_a, h, w)
         train_a = BatchLoader(set_a, cfg.optim.batch_size_a, shuffle=True,
                               num_workers=workers, seed=cfg.seed)
         val_a = BatchLoader(set_a_val, cfg.optim.batch_size_a, shuffle=False,
@@ -85,6 +75,32 @@ def build_loaders(cfg, for_train=True):
     if ds_b.name.startswith("DSEC"):
         rectify_map = None  # rectification happens on the host in the loader
     return train_a, train_b, val_a, val_b, rectify_map
+
+
+def _image_datasets(cfg, ds_a, h, w):
+    """Sensor-A dataset dispatch: Cityscapes_gray, DDD17_gray, or the
+    DDD17_Cityscapes_gray mix (reference settings.py:62-106)."""
+    def cityscapes(split, aug):
+        from ess_tpu.data.cityscapes import CityscapesGray
+        return CityscapesGray(ds_a.dataset_path, height=h, width=w, split=split,
+                              semseg_num_classes=cfg.task.semseg_num_classes,
+                              augmentation=aug, random_crop=ds_a.random_crop,
+                              seed=cfg.seed)
+
+    aug = cfg.model.data_augmentation_train
+    if ds_a.name == "DDD17_gray":
+        from ess_tpu.data.ddd17_gray import DDD17Gray
+        return (DDD17Gray(ds_a.dataset_path, split="train", height=h, width=w),
+                DDD17Gray(ds_a.dataset_path, split="valid", height=h, width=w))
+    if ds_a.name == "DDD17_Cityscapes_gray":
+        from ess_tpu.data.ddd17_gray import ConcatImages, DDD17Gray
+        import dataclasses as _dc
+        ddd17_root = getattr(ds_a, "extra_dataset_path", "") or ds_a.dataset_path
+        train = ConcatImages(
+            cityscapes("train", aug),
+            DDD17Gray(ddd17_root, split="train", height=h, width=w))
+        return train, cityscapes("val", False)
+    return cityscapes("train", aug), cityscapes("val", False)
 
 
 def load_pretrained_backbone(cfg):

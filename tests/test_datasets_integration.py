@@ -172,3 +172,27 @@ def test_cityscapes_full_frame_mode(tmp_path):
     assert s["image"].shape == (440, 640, 1)
     assert s["label"].shape == (440, 640)
     assert s["image"].max() <= 1.0
+
+
+def test_ddd17_gray(tmp_path):
+    pytest.importorskip("cv2")
+    import cv2
+    make_ddd17_dir(str(tmp_path))
+    # add paired frames
+    for d in range(7):
+        img_dir = os.path.join(str(tmp_path), f"dir{d}", "imgs")
+        os.makedirs(img_dir, exist_ok=True)
+        for m in range(3):
+            img = (np.ones((260, 346)) * 100).astype(np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"img_{m + 1:05d}.png"), img)
+
+    from ess_tpu.data.ddd17_gray import ConcatImages, DDD17Gray
+    ds = DDD17Gray(str(tmp_path), split="train")
+    assert len(ds) == 15
+    s = ds[0]
+    assert s["image"].shape == (200, 352, 1)
+    assert s["label"].shape == (200, 352)
+
+    both = ConcatImages(ds, DDD17Gray(str(tmp_path), split="valid"))
+    assert len(both) == 15 + 3
+    assert both[16]["image"].shape == (200, 352, 1)
