@@ -116,8 +116,8 @@ def _voxelize_pallas(
         offsets = tile_offsets
     grid = voxelize_tiled(xs, ys, tss, ps, offsets,
                           bins=bins_eff, height=hp, width=wp,
-                          interpret=interpret)
-    return grid[:, :, :height, :width]  # (B, C, H, W)
+                          interpret=interpret, nhwc=True)
+    return grid[:, :height, :width, :]  # (B, H, W, C)
 
 
 def voxelize_window_soa(
@@ -167,12 +167,11 @@ def voxelize_window_soa(
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
-            tile_offsets=tile_offsets, interpret=pallas_interpret)
-        flat = grid.reshape(grid.shape[0], grid.shape[1], -1)
+            tile_offsets=tile_offsets, interpret=pallas_interpret)  # NHWC
         if normalize:
-            flat = _normalize_flat(flat)
-        return jnp.moveaxis(
-            flat.reshape(grid.shape[0], grid.shape[1], height, width), 1, -1)
+            flat = grid.reshape(grid.shape[0], 1, -1)
+            grid = _normalize_flat(flat).reshape(grid.shape)
+        return grid
 
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
     cells = height * width

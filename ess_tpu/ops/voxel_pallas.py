@@ -202,7 +202,7 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
 def voxelize_tiled(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
-    interpret: bool = False, oh_dtype=jnp.float32,
+    interpret: bool = False, oh_dtype=jnp.float32, nhwc: bool = False,
 ) -> jax.Array:
     """(B, N) tile-sorted events + (B, n_tiles+1) offsets -> (B, bins, H, W).
 
@@ -247,6 +247,8 @@ def voxelize_tiled(
         interpret=interpret,
     )(offsets, ev)
 
+    if nhwc:
+        return _fold_halo_nhwc(out, bins=bins, height=height, width=width)
     return _fold_halo(out, bins=bins, height=height, width=width)
 
 
@@ -281,6 +283,36 @@ def _fold_halo(tiles: jax.Array, *, bins: int, height: int, width: int) -> jax.A
     full = jnp.moveaxis(full, 3, 1)               # (b, bins, ty, tx, th, tw)
     full = jnp.moveaxis(full, 4, 3)               # (b, bins, ty, th, tx, tw)
     return full.reshape(b, bins, height, width)
+
+
+def _fold_halo_nhwc(tiles: jax.Array, *, bins: int, height: int, width: int) -> jax.Array:
+    """Like :func:`_fold_halo` but emits (B, H, W, bins) directly — the model
+    consumes NHWC, so folding straight to it saves one full-grid transpose
+    pass per window."""
+    b = tiles.shape[0]
+    th, tw = TILE_H, TILE_W
+    n_ty, n_tx = height // th, width // tw
+    t = tiles.reshape(b, -1, tiles.shape[2], tiles.shape[3] // COL_SLOT, COL_SLOT)
+    t = jnp.moveaxis(t, 3, 2)
+    t = t.reshape(b, n_ty, n_tx, tiles.shape[2], COL_SLOT)
+    t = t[:, :, :, : bins * (th + 1), : tw + 1]
+    t = t.reshape(b, n_ty, n_tx, bins, th + 1, tw + 1)
+
+    core = t[..., :th, :tw]
+    halo_y = t[..., th, :tw]
+    halo_x = t[..., :th, tw]
+    halo_yx = t[..., th, tw]
+
+    add_y = jnp.zeros_like(core)
+    add_y = add_y.at[:, 1:, :, :, 0, :].set(halo_y[:, :-1])
+    add_x = jnp.zeros_like(core)
+    add_x = add_x.at[:, :, 1:, :, :, 0].set(halo_x[:, :, :-1])
+    add_yx = jnp.zeros_like(core)
+    add_yx = add_yx.at[:, 1:, 1:, :, 0, 0].set(halo_yx[:, :-1, :-1])
+
+    full = core + add_y + add_x + add_yx        # (b, ty, tx, bins, th, tw)
+    full = jnp.transpose(full, (0, 1, 4, 2, 5, 3))  # (b, ty, th, tx, tw, bins)
+    return full.reshape(b, height, width, bins)
 
 
 def voxelize_trilinear_pallas(
