@@ -303,14 +303,12 @@ def _fold_halo_nhwc(tiles: jax.Array, *, bins: int, height: int, width: int) -> 
     halo_x = t[..., :th, tw]
     halo_yx = t[..., th, tw]
 
-    add_y = jnp.zeros_like(core)
-    add_y = add_y.at[:, 1:, :, :, 0, :].set(halo_y[:, :-1])
-    add_x = jnp.zeros_like(core)
-    add_x = add_x.at[:, :, 1:, :, :, 0].set(halo_x[:, :, :-1])
-    add_yx = jnp.zeros_like(core)
-    add_yx = add_yx.at[:, 1:, 1:, :, 0, 0].set(halo_yx[:, :-1, :-1])
-
-    full = core + add_y + add_x + add_yx        # (b, ty, tx, bins, th, tw)
+    # in-place region adds (slice + dynamic_update_slice), not full-size
+    # zero tensors
+    full = core
+    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
+    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
+    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
     full = jnp.transpose(full, (0, 1, 4, 2, 5, 3))  # (b, ty, th, tx, tw, bins)
     return full.reshape(b, height, width, bins)
 
