@@ -5,6 +5,7 @@ from ess_tpu.ops.voxel import (
     voxel_grid_temporal,
     voxel_grid_trilinear,
 )
+from ess_tpu.ops.batch_voxel import voxelize_window_soa, voxelize_windows
 from ess_tpu.ops.pad import CropGeometry, reflect_pad, crop_output
 from ess_tpu.ops.resize import resize_bilinear, resize_nearest
 
@@ -14,6 +15,8 @@ __all__ = [
     "normalize_nonzero",
     "voxel_grid_temporal",
     "voxel_grid_trilinear",
+    "voxelize_window_soa",
+    "voxelize_windows",
     "CropGeometry",
     "reflect_pad",
     "crop_output",

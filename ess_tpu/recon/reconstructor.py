@@ -57,6 +57,9 @@ class Reconstructor:
     normalize: bool = True
     flip: bool = False
     standardize: bool = False
+    # disable the recurrent connection: state resets every window
+    # (inference_options --no-recurrent, image_reconstructor.py:109-112)
+    no_recurrent: bool = False
 
     @property
     def geometry(self) -> CropGeometry:
@@ -103,7 +106,7 @@ class Reconstructor:
             _, new_state, _ = self.step(params, ev, carry, decode=False)
             return new_state, None
 
-        if t > 1:
+        if t > 1 and not self.no_recurrent:
             xs = jnp.moveaxis(windows[:, :-1], 1, 0)
             state, _ = jax.lax.scan(body, state, xs)
         final_img, final_state, final_latent = self.step(
@@ -133,9 +136,11 @@ class Reconstructor:
 
         def body(carry, i):
             _, new_state, _ = self.step(params, get_window(i), carry, decode=False)
+            if self.no_recurrent:
+                new_state = carry
             return new_state, None
 
-        if t_dim > 1:
+        if t_dim > 1 and not self.no_recurrent:
             state, _ = jax.lax.scan(body, state, jnp.arange(t_dim - 1))
         final_img, final_state, final_latent = self.step(
             params, get_window(t_dim - 1), state, decode=True)
@@ -150,6 +155,8 @@ class Reconstructor:
 
         def body(carry, ev):
             img, new_state, _ = self.step(params, ev, carry)
+            if self.no_recurrent:
+                new_state = carry
             return new_state, img
 
         xs = jnp.moveaxis(windows, 1, 0)

@@ -128,11 +128,19 @@ class Trainer:
             yield from _device_batches(self.train_b, self._sharding)
 
     def train_epoch(self) -> None:
+        from ess_tpu.io.timers import Timer
+
         for batch in self._train_batches():
-            self.state, losses = self.train_step(self.state, batch)
+            with Timer("train_step"):
+                self.state, losses = self.train_step(self.state, batch)
+                # force completion so the region timer reflects device time
+                loss = float(losses["loss"])
             self.step_count += 1
+            self.writer.averaged_scalar("train/loss", loss, self.step_count)
             for k, v in losses.items():
-                self.writer.averaged_scalar(f"train/{k}", float(v), self.step_count)
+                if k != "loss":
+                    self.writer.averaged_scalar(
+                        f"train/{k}", float(v), self.step_count)
 
     def validate(self) -> dict:
         cfg = self.cfg
