@@ -94,7 +94,6 @@ def _image_datasets(cfg, ds_a, h, w):
                 DDD17Gray(ds_a.dataset_path, split="valid", height=h, width=w))
     if ds_a.name == "DDD17_Cityscapes_gray":
         from ess_tpu.data.ddd17_gray import ConcatImages, DDD17Gray
-        import dataclasses as _dc
         ddd17_root = getattr(ds_a, "extra_dataset_path", "") or ds_a.dataset_path
         train = ConcatImages(
             cityscapes("train", aug),

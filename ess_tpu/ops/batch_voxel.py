@@ -82,7 +82,7 @@ def _voxelize_pallas(
     the polarity into the channel axis by shifting the normalized time by
     ``num_bins`` for negative events.
     """
-    from ess_tpu.ops.voxel_pallas import voxelize_trilinear_pallas, voxelize_tiled, bin_events_device
+    from ess_tpu.ops.voxel_pallas import voxelize_tiled, bin_events_device
 
     hp = ((height + 7) // 8) * 8
     wp = ((width + 127) // 128) * 128

@@ -17,7 +17,7 @@ carried one for streaming eval — sequence_recurrent.py semantics).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
 import jax

@@ -85,3 +85,29 @@ def test_uda_loop_runs(tmp_path):
     assert "semseg_sensor_a_mean_iou" in summary
     assert "semseg_sensor_b_mean_iou" in summary
     assert "semseg_sensor_cycle_mean_iou" in summary
+
+
+def test_restore_pretrained_skips_frozen(tmp_path):
+    """restore_pretrained loads trainable nets but keeps the template's
+    frozen E2VID (saver.py:50-60 semantics)."""
+    import jax
+    from ess_tpu.io.checkpoint import CheckpointManager
+    from ess_tpu.train.builder import build_modules, init_state
+
+    cfg = loop_config("ess_supervised", tmp_path)
+    mods = build_modules(cfg)
+    trained = init_state(mods, jax.random.PRNGKey(1))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(0, jax.device_get(trained), wait=True)
+
+    template = init_state(mods, jax.random.PRNGKey(2))
+    restored = ckpt.restore_pretrained(template)
+    # head params come from the checkpoint
+    np.testing.assert_allclose(
+        np.asarray(restored.back_params["logits"]["kernel"]),
+        np.asarray(trained.back_params["logits"]["kernel"]))
+    # frozen backbone stays at the template's values
+    np.testing.assert_allclose(
+        np.asarray(restored.e2vid_params["head"]["Conv_0"]["kernel"]),
+        np.asarray(template.e2vid_params["head"]["Conv_0"]["kernel"]))
+    ckpt.close()
