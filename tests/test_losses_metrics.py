@@ -111,3 +111,37 @@ def test_iou_known_values():
     iou, miou = confusion_to_iou(conf)
     np.testing.assert_allclose(iou, [100 * 3 / 5, 100 * 5 / 7])
     np.testing.assert_allclose(confusion_to_accuracy(conf), 80.0)
+
+
+def test_radam_matches_reference_trajectory(rng):
+    """optax.radam reproduces the reference RAdam (utils/radam.py) step for
+    step, including the rectification warmup and SGD fallback, at the
+    reference's hyperparameters betas=(0, 0.999), lr arbitrary."""
+    from utils.radam import RAdam as TorchRAdam
+    import jax.numpy as jnp
+    from ess_tpu.train.state import make_radam
+
+    w0 = rng.normal(size=(5,)).astype(np.float32)
+    grads = [rng.normal(size=(5,)).astype(np.float32) for _ in range(12)]
+
+    # torch reference
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = TorchRAdam([p], lr=1e-2, betas=(0.0, 0.999), eps=1e-8, weight_decay=0)
+    torch_traj = []
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+        torch_traj.append(p.detach().numpy().copy())
+
+    # optax
+    tx = make_radam(1e-2, b1=0.0, b2=0.999)
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    import optax
+    for i, g in enumerate(grads):
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params), torch_traj[i], rtol=1e-4, atol=1e-6,
+            err_msg=f"diverged at step {i}")
