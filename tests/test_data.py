@@ -162,3 +162,77 @@ def test_pipeline_rectify(rng):
     out = pipe(batch)
     assert out["events"].shape == (2, 2, h, w, 5)
     assert np.isfinite(np.asarray(out["events"])).all()
+
+
+def test_make_pipeline_ddd17_uda_geometry(rng):
+    """builder.make_pipeline reproduces the DDD17 train geometry: voxelize at
+    260x346 -> crop 60 bottom rows -> resize 200x352 -> bottom-anchored
+    120x216 crop + flip, with the label transformed consistently."""
+    import jax
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, TaskConfig)
+    from ess_tpu.train.builder import make_pipeline
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(200, 352)),
+            sensor_b=EventDatasetConfig(name="DDD17_events", shape=(200, 346),
+                                        nr_temporal_bins=5),
+        ),
+        model=ModelConfig(model_name="ess", data_augmentation_train=True),
+        task=TaskConfig(semseg_num_classes=6),
+    )
+    pipe = make_pipeline(cfg, train=True)
+    assert pipe.cfg.crop_bottom == 60
+    assert pipe.cfg.resize_to == (200, 352)
+    assert pipe.cfg.random_crop == (120, 216)
+    assert pipe.cfg.crop_anchor == "bottom"
+
+    b, n = 2, 256
+    x = jnp.asarray(rng.integers(0, 346, (b, n)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 260, (b, n)), jnp.float32)
+    t = jnp.asarray(np.sort(rng.uniform(0, 1e4, (b, n)), axis=1), jnp.float32)
+    p = jnp.asarray(rng.integers(0, 2, (b, n)), jnp.float32)
+    valid = jnp.ones((b, n), bool)
+
+    aug = pipe.sample_augment(jax.random.PRNGKey(0), b, train=True)
+    # bottom-anchored: y offset fixed at 200 - 120 = 80
+    np.testing.assert_array_equal(np.asarray(aug.crop_y), [80, 80])
+    grids = pipe.make_window_fn(aug)(x, y, t, p, valid)
+    assert grids.shape == (b, 120, 216, 5)
+
+    label = jnp.asarray(rng.integers(0, 6, (b, 200, 352)), jnp.int32)
+    out_label = pipe.apply_label_transform(label, aug)
+    assert out_label.shape == (b, 120, 216)
+
+    # flip consistency: where flip is set, both grid and label flip
+    flips = np.asarray(aug.flip)
+    grids_noflip = pipe.make_window_fn(
+        type(aug)(flip=jnp.zeros((b,), bool), crop_y=aug.crop_y,
+                  crop_x=aug.crop_x))(x, y, t, p, valid)
+    for i in range(b):
+        if flips[i]:
+            np.testing.assert_allclose(
+                np.asarray(grids[i]), np.asarray(grids_noflip[i][:, ::-1]),
+                atol=1e-5)
+
+
+def test_make_pipeline_dsec_geometry():
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, TaskConfig)
+    from ess_tpu.train.builder import make_pipeline
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
+            sensor_b=EventDatasetConfig(name="DSEC_events", shape=(440, 640)),
+        ),
+        model=ModelConfig(model_name="ess"),
+        task=TaskConfig(semseg_num_classes=11),
+    )
+    pipe = make_pipeline(cfg, train=True)
+    assert pipe.cfg.sensor_height == 480 and pipe.cfg.crop_bottom == 40
+    assert pipe.cfg.trilinear and pipe.cfg.random_flip
+    assert pipe.cfg.output_size(train=True) == (440, 640)
