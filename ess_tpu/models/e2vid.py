@@ -87,6 +87,11 @@ class RecurrentUNet(nn.Module):
     norm: Optional[str] = None
     use_upsample_conv: bool = True
     final_activation: Optional[str] = "sigmoid"
+    # head conv as an explicit patch matmul (identical params + math).
+    # Measured SLOWER in the full step on v5e (materializing the 25x-wider
+    # patch tensor thrashes HBM: 0.74 s -> 1.96 s), so off by default; kept
+    # as an option for sensors/configs where the tradeoff differs.
+    head_im2col: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +111,8 @@ class RecurrentUNet(nn.Module):
 
         head = ConvLayer(
             self.base_channels, kernel_size=5, strides=1,
-            activation="relu", norm=None, dtype=self.dtype, name="head",
+            activation="relu", norm=None, im2col=self.head_im2col,
+            dtype=self.dtype, name="head",
         )(compute, train=train)
 
         latent: Latent = {1: head}

@@ -53,6 +53,46 @@ def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:
     return (x - mean) * jax.lax.rsqrt(var + epsilon)
 
 
+class _Im2ColConv(nn.Module):
+    """Stride-1 conv evaluated as an explicit patch matmul.
+
+    Mathematically identical to nn.Conv (same 'kernel'/'bias' param tree, so
+    checkpoints interchange), but contracts over k*k*C_in in ONE matmul.
+    For MXU-hostile channel counts (the 5-bin voxel-grid head conv, which
+    XLA runs at ~4 TF/s) the 125-wide contraction is ~3x faster on v5e.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, cin, self.features))
+        pad = k // 2
+        xb = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        cols = [
+            jax.lax.dynamic_slice(
+                xb, (0, dy, dx, 0),
+                (x.shape[0], x.shape[1], x.shape[2], cin))
+            for dy in range(k) for dx in range(k)
+        ]
+        patches = jnp.concatenate(cols, axis=-1)
+        wflat = kernel.reshape(k * k * cin, self.features).astype(self.dtype)
+        out = jax.lax.dot_general(
+            patches, wflat, (((3,), (0,)), ((), ())),
+            preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvLayer(nn.Module):
     """Conv + optional norm + optional activation (submodules.py:7-31)."""
 
@@ -61,19 +101,26 @@ class ConvLayer(nn.Module):
     strides: int = 1
     activation: Optional[str] = "relu"
     norm: Optional[str] = None  # None | 'BN' | 'IN'
+    im2col: bool = False  # evaluate as a patch matmul (stride 1 only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=self.norm != "BN",
-            dtype=self.dtype,
-        )(x)
+        if self.im2col and self.strides == 1:
+            x = _Im2ColConv(
+                self.features, self.kernel_size,
+                use_bias=self.norm != "BN", dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=self.norm != "BN",
+                dtype=self.dtype,
+            )(x)
         if self.norm == "BN":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(x)
