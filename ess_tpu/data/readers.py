@@ -88,3 +88,27 @@ class FixedDurationEventReader:
                     last_stamp = t
         if buf:
             yield np.asarray(buf)
+
+
+class H5DurationReader:
+    """Fixed-duration iterator over a DSEC events.h5 stream
+    (DSEC/visualization/eventreader.py:33-56 capability): yields
+    (N_i, 4) [x, y, t, p] arrays covering ``delta_t_ms`` each."""
+
+    def __init__(self, h5_path: str, delta_t_ms: float = 50.0):
+        from ess_tpu.data.slicer import EventSlicer, H5EventStore
+
+        self.store = H5EventStore(h5_path)
+        self.slicer = EventSlicer(self.store)
+        self.delta_t_us = int(delta_t_ms * 1000)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        from ess_tpu.data.slicer import events_dict_to_xytp
+
+        t = self.slicer.start_time_us()
+        t_final = self.slicer.final_time_us()
+        while t + self.delta_t_us <= t_final:
+            ev = self.slicer.get_events(t, t + self.delta_t_us)
+            if ev is not None and len(ev["t"]):
+                yield events_dict_to_xytp(ev)
+            t += self.delta_t_us

@@ -98,6 +98,13 @@ class Trainer:
         self.log_dir = log_dir or os.path.join(
             cfg.log_dir, time.strftime("%Y%m%d-%H%M%S"))
         self.writer = MetricsWriter(self.log_dir, config={"cfg": cfg})
+        from ess_tpu.utils.viz import count_params
+        counts = {"back_end": count_params(self.state.back_params),
+                  "front_sensor_b(e2vid,frozen)": count_params(self.state.e2vid_params)}
+        if self.state.front_params is not None:
+            counts["front_sensor_a"] = count_params(self.state.front_params)
+        for name, n in counts.items():
+            print(f"[ess-tpu] {name}: {n / 1e6:.2f}M params")
         self.ckpt = (CheckpointManager(os.path.join(self.log_dir, "checkpoints"))
                      if cfg.checkpoint.save_checkpoint else None)
         self.step_count = 0

@@ -137,3 +137,11 @@ def confusion_matrix_figure(cm: np.ndarray, class_names: Sequence[str],
                     fontsize=7)
     fig.tight_layout()
     return fig
+
+
+def count_params(pytree) -> int:
+    """Total parameter count of a pytree (BaseModel.summary capability,
+    e2vid/base/base_model.py:14-30)."""
+    import jax
+
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(pytree))

@@ -236,3 +236,30 @@ def test_make_pipeline_dsec_geometry():
     assert pipe.cfg.sensor_height == 480 and pipe.cfg.crop_bottom == 40
     assert pipe.cfg.trilinear and pipe.cfg.random_flip
     assert pipe.cfg.output_size(train=True) == (440, 640)
+
+
+def test_h5_duration_reader(tmp_path):
+    pytest.importorskip("h5py")
+    import h5py
+    from ess_tpu.data.readers import H5DurationReader
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    t = np.sort(rng.integers(0, 200_000, n)).astype(np.int64)  # 200ms
+    path = str(tmp_path / "events.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events/x", data=rng.integers(0, 64, n))
+        f.create_dataset("events/y", data=rng.integers(0, 48, n))
+        f.create_dataset("events/t", data=t)
+        f.create_dataset("events/p", data=rng.integers(0, 2, n))
+        ms = np.arange(t[-1] // 1000 + 2, dtype=np.int64) * 1000
+        f.create_dataset("ms_to_idx", data=np.searchsorted(t, ms))
+        f.create_dataset("t_offset", data=np.int64(0))
+
+    windows = list(H5DurationReader(path, delta_t_ms=50.0))
+    assert len(windows) >= 3
+    total = sum(len(w) for w in windows)
+    assert total <= n
+    for w in windows:
+        assert w.shape[1] == 4
+        assert (np.diff(w[:, 2]) >= 0).all()
