@@ -154,3 +154,40 @@ def test_strip_module_prefix():
     sd = {"module.a.weight": 1, "b.bias": 2}
     out = strip_module_prefix(sd)
     assert out == {"a.weight": 1, "b.bias": 2}
+
+
+@pytest.mark.parametrize("num_encoders,base", [(4, 32)])
+def test_e2vid_parity_other_geometries(num_encoders, base):
+    """Converter + model handle non-lightweight E2VID geometries
+    (num_encoders/base from the checkpoint's embedded config,
+    loading_utils.py:11-21). NOTE the reference hardcodes its latent dict to
+    keys {1,2,4,8} (unet.py:172) — fewer than 3 encoders crashes it outright
+    — so parity is checked on the shared keys."""
+    from e2vid.model.unet import UNetRecurrent
+    from ess_tpu.models import zero_recurrent_state
+
+    torch.manual_seed(1)
+    h = w = 32
+    tmodel = UNetRecurrent(
+        num_input_channels=5, num_output_channels=1, skip_type="sum",
+        recurrent_block_type="convlstm", activation="sigmoid",
+        num_encoders=num_encoders, base_num_channels=base,
+        num_residual_blocks=2, norm=None, use_upsample_conv=True).eval()
+    params, config = _convert_e2vid_state_dict(
+        tmodel.state_dict(), num_encoders=num_encoders)
+
+    from ess_tpu.models import RecurrentUNet
+    model = RecurrentUNet(base_channels=base, num_encoders=num_encoders)
+    x = np.random.default_rng(2).normal(size=(1, 5, h, w)).astype(np.float32)
+    with torch.no_grad():
+        timg, _, tlat = tmodel(torch.from_numpy(x), None)
+    states = zero_recurrent_state(1, h, w, num_encoders=num_encoders,
+                                  base_channels=base)
+    img, _, lat = model.apply({"params": params},
+                              jnp.asarray(x.transpose(0, 2, 3, 1)), states)
+    np.testing.assert_allclose(np.asarray(img)[..., 0], timg.numpy()[:, 0],
+                               atol=3e-5)
+    for scale in (1, 2, 4, 8):  # the keys the reference exposes (unet.py:172)
+        np.testing.assert_allclose(
+            np.asarray(lat[scale]).transpose(0, 3, 1, 2),
+            tlat[scale].numpy(), atol=3e-5, err_msg=f"scale {scale}")
