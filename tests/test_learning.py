@@ -52,3 +52,32 @@ def test_supervised_overfits_synthetic():
     assert loss1 < 0.7 * loss0, (loss0, loss1, losses[-5:])
     assert miou1 > miou0 + 10, (miou0, miou1)
     assert miou1 > 35, miou1
+
+
+def test_uda_cycle_alignment_improves():
+    """UDA training on fixed synthetic paired data drives the cycle latent
+    loss (image-encoder <-> event-embedding alignment — the core ESS
+    objective) and the image task loss down."""
+    from ess_tpu.train import uda as uda_mod
+    from tests.test_train_steps import uda_batch
+    import numpy as np_
+
+    cfg = tiny_config(model_name="ess")
+    cfg = cfg.replace(optim=cfg.optim.__class__(
+        **{**cfg.optim.__dict__, "lr_back": 3e-3, "lr_front": 3e-3,
+           "weight_cycle_emb_loss": 1.0}))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    rng_np = np_.random.default_rng(3)
+    batch = uda_batch(rng_np)
+
+    step = uda_mod.make_train_step(mods)
+    state, first = step(state, batch)
+    cyc0 = float(first["cycle_latent_8x_sensor_b_to_sensor_a_loss"])
+    img0 = float(first["semseg_sensor_a_loss"])
+    for _ in range(60):
+        state, losses = step(state, batch)
+    cyc1 = float(losses["cycle_latent_8x_sensor_b_to_sensor_a_loss"])
+    img1 = float(losses["semseg_sensor_a_loss"])
+    assert cyc1 < 0.8 * cyc0, (cyc0, cyc1)
+    assert img1 < 0.9 * img0, (img0, img1)
