@@ -68,7 +68,11 @@ class Trainer:
         front_params=None,
         front_batch_stats=None,
         log_dir: Optional[str] = None,
+        save_every_steps: int = 0,
     ):
+        # save_every_steps > 0: preemption-safe async mid-epoch checkpoints
+        # (new capability vs the reference's epoch-only saves, saver.py:15-31)
+        self.save_every_steps = save_every_steps
         self.cfg = cfg
         self.is_uda = cfg.model.model_name == "ess"
         self.train_b, self.val_b = train_b, val_b
@@ -148,6 +152,11 @@ class Trainer:
                 if k != "loss":
                     self.writer.averaged_scalar(
                         f"train/{k}", float(v), self.step_count)
+            if (self.save_every_steps and self.ckpt is not None
+                    and self.step_count % self.save_every_steps == 0):
+                # async orbax save; epoch key reserved for epoch saves
+                self.ckpt.save(1_000_000 + self.step_count,
+                               jax.device_get(self.state))
 
     def validate(self) -> dict:
         cfg = self.cfg
@@ -185,6 +194,9 @@ class Trainer:
             summary["semseg_sensor_b_mean_iou"] = s["mean_iou"]
             summary["semseg_sensor_b_acc"] = s["acc"]
             summary["cm_b"] = s["cm"]
+            for name in task.class_names:  # per-class IoU curves
+                self.writer.scalar(f"val_events/iou_{name}", float(s[name]),
+                                   self.step_count)
             from ess_tpu.utils import viz
             self.writer.figure(
                 "val_events/semseg_cm",
