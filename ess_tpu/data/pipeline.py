@@ -46,6 +46,9 @@ class PipelineConfig:
     normalize: bool = False          # per-window nonzero normalize at build
     crop_bottom: int = 0             # rows dropped from the bottom (sensor res)
     resize_to: Optional[Tuple[int, int]] = None   # (H, W) after crop
+    # the reference resizes event tensors with align_corners=True
+    # (ddd17_events_loader.py:164, sequence.py:288)
+    resize_align_corners: bool = True
     random_crop: Optional[Tuple[int, int]] = None  # train-time crop (H, W)
     crop_anchor: str = "random"      # 'random' | 'bottom' (DDD17 uses bottom)
     random_flip: bool = False
@@ -144,7 +147,8 @@ class EventPipeline:
         if cfg.crop_bottom > 0:
             grids = grids[:, : cfg.sensor_height - cfg.crop_bottom]
         if cfg.resize_to is not None:
-            grids = resize_bilinear(grids, *cfg.resize_to)
+            grids = resize_bilinear(grids, *cfg.resize_to,
+                                    align_corners=cfg.resize_align_corners)
         if aug.crop_y is not None:
             ch, cw = cfg.random_crop
 

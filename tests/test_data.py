@@ -263,3 +263,18 @@ def test_h5_duration_reader(tmp_path):
     for w in windows:
         assert w.shape[1] == 4
         assert (np.diff(w[:, 2]) >= 0).all()
+
+
+def test_resize_align_corners_matches_torch(rng):
+    """The event-tensor resize reproduces torch align_corners=True
+    (ddd17_events_loader.py:164)."""
+    import torch
+    from ess_tpu.ops.resize import resize_bilinear
+
+    x = rng.normal(size=(2, 13, 17, 3)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(26, 35),
+        mode="bilinear", align_corners=True).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), 26, 35,
+                                     align_corners=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
