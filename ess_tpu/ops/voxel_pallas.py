@@ -125,7 +125,11 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     acc0 = jnp.zeros((rows, cols), jnp.float32)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rows), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cols), 1)
+    # float iota hoisted out of the block loop (an in-loop i32->f32 convert
+    # of the wide plane costs a full extra VPU pass per block; Mosaic's
+    # tpu.iota is integer-only, so convert once here)
+    col_iota_f = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, cols), 1).astype(jnp.float32)
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
 
     first_blk = start // CHUNK
@@ -178,8 +182,7 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         # neighbouring integer columns — one arithmetic pass over the wide
         # (CHUNK, cols) plane instead of two compare-selects
         xpos = (slot_idx * COL_SLOT + x0).astype(jnp.float32) + wx1
-        ohc = jnp.maximum(
-            0.0, 1.0 - jnp.abs(col_iota.astype(jnp.float32) - xpos[:, None]))
+        ohc = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_f - xpos[:, None]))
 
         ohr = jnp.zeros((CHUNK, rows), jnp.float32)
         base = jnp.where(in_range, pol, 0.0)
@@ -243,7 +246,7 @@ def voxelize_tiled(
         out_shape=jax.ShapeDtypeStruct(
             (b, n_tiles // k_tiles, rows, cols), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(offsets, ev)
 
