@@ -76,13 +76,15 @@ def make_train_step(
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         img_a, labels_a = batch["image_a"], batch["label_a"]
 
-        # Frozen recurrent reconstruction (no activations kept).
+        # Frozen recurrent reconstruction (no activations kept). Assemble the
+        # sensor-B sub-batch explicitly: dense grids arrive as "events_b",
+        # raw SoA events under their ev_* keys, labels as "label_b".
         rng = jax.random.fold_in(base_rng, state.step)
-        b_batch = {k[:-2] if k.endswith("_b") and k != "label_b" else k: v
-                   for k, v in batch.items()}
-        b_batch["label"] = batch.get("label_b")
-        if b_batch["label"] is None:
-            b_batch.pop("label")
+        b_batch = {k: v for k, v in batch.items() if k.startswith("ev_")}
+        if "events_b" in batch:
+            b_batch["events"] = batch["events_b"]
+        if batch.get("label_b") is not None:
+            b_batch["label"] = batch["label_b"]
         img_fake, latent_real, labels_b = _rollout(
             mods, mods.recon_train, state, b_batch, pipeline,
             train=True, rng=rng)
