@@ -69,10 +69,15 @@ class Trainer:
         front_batch_stats=None,
         log_dir: Optional[str] = None,
         save_every_steps: int = 0,
+        profile_steps: Optional[tuple] = None,
     ):
         # save_every_steps > 0: preemption-safe async mid-epoch checkpoints
         # (new capability vs the reference's epoch-only saves, saver.py:15-31)
         self.save_every_steps = save_every_steps
+        # profile_steps = (start, end): capture a jax.profiler trace of those
+        # train steps into <log_dir>/profile (the TPU analogue of the
+        # reference's CudaTimer regions, e2vid/utils/timers.py:10-26)
+        self.profile_steps = profile_steps
         self.cfg = cfg
         self.is_uda = cfg.model.model_name == "ess"
         self.train_b, self.val_b = train_b, val_b
@@ -142,6 +147,8 @@ class Trainer:
         from ess_tpu.io.timers import Timer
 
         for batch in self._train_batches():
+            if self.profile_steps and self.step_count == self.profile_steps[0]:
+                jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
             with Timer("train_step"):
                 self.state, losses = self.train_step(self.state, batch)
                 # force completion so the region timer reflects device time
@@ -157,6 +164,8 @@ class Trainer:
                 # async orbax save; epoch key reserved for epoch saves
                 self.ckpt.save(1_000_000 + self.step_count,
                                jax.device_get(self.state))
+            if self.profile_steps and self.step_count == self.profile_steps[1]:
+                jax.profiler.stop_trace()
 
     def validate(self) -> dict:
         cfg = self.cfg
