@@ -163,7 +163,7 @@ def voxelize_window_soa(
 
     if use_pallas is None:
         use_pallas = _use_pallas_default()
-    if use_pallas and representation != "histogram":
+    if use_pallas and representation == "voxel_grid":
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
@@ -175,6 +175,39 @@ def voxelize_window_soa(
 
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
     cells = height * width
+
+    if representation == "ev_segnet":
+        # EV-SegNet 6-channel representation (Alonso & Murillo 2019): per
+        # polarity, the per-pixel event count plus mean and std of the
+        # normalized timestamps. The reference DECLARES this mode
+        # (settings.py:156-157 sets 6 input channels) but its generator
+        # returns None (data_util.generate_input_representation); this is a
+        # working implementation. Channel order:
+        # [cnt+, cnt-, mean_t+, mean_t-, std_t+, std_t-].
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+        ok = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height) & valid
+        tmax = jnp.max(jnp.where(valid, t, -jnp.inf), axis=-1, keepdims=True)
+        tmin = jnp.min(jnp.where(valid, t, jnp.inf), axis=-1, keepdims=True)
+        tn = (t - tmin) / jnp.maximum(tmax - tmin, 1e-9)  # [0, 1]
+        chan = jnp.where(pol > 0, 0, 1)
+        boff = (jnp.arange(b, dtype=jnp.int32) * 2 * cells)[:, None]
+        idx = jnp.where(ok, boff + chan * cells + yi * width + xi, 0).reshape(-1)
+
+        def scat(vals):
+            flat = jnp.zeros((b * 2 * cells,), jnp.float32)
+            return flat.at[idx].add(
+                jnp.where(ok, vals, 0.0).reshape(-1), mode="drop"
+            ).reshape(b, 2, cells)
+
+        cnt = scat(jnp.ones_like(tn))
+        s_t = scat(tn)
+        s_t2 = scat(tn * tn)
+        denom = jnp.maximum(cnt, 1.0)
+        mean = s_t / denom
+        std = jnp.sqrt(jnp.maximum(s_t2 / denom - mean * mean, 0.0))
+        grid = jnp.concatenate([cnt, mean, std], axis=1)  # (B, 6, cells)
+        return jnp.moveaxis(grid.reshape(b, 6, height, width), 1, -1)
 
     if representation == "histogram":
         num_ch = 2

@@ -101,3 +101,29 @@ def test_dense_wrapper_shape(rng):
     out = voxelize_windows(jnp.asarray(events), jnp.asarray(valid),
                            num_bins=5, height=h, width=w)
     assert out.shape == (b, t_dim, h, w, 5)
+
+
+def test_ev_segnet_representation(rng):
+    """EV-SegNet 6-channel rep: per-polarity count / mean-t / std-t."""
+    h, w = 12, 16
+    x, y, t, p, valid = make_soa(rng, b=2, n=300, h=h, w=w,
+                                 float_coords=False, with_pad=True)
+    out = voxelize_window_soa(x, y, t, p, valid, num_bins=5, height=h,
+                              width=w, representation="ev_segnet")
+    assert out.shape == (2, h, w, 6)
+    arr = np.asarray(out)
+    # golden check per pixel on sample 0
+    xs, ys = np.asarray(x[0]), np.asarray(y[0])
+    ts, ps, vs = np.asarray(t[0]), np.asarray(p[0]), np.asarray(valid[0])
+    tn = (ts - ts[vs].min()) / max(ts[vs].max() - ts[vs].min(), 1e-9)
+    for (px, py) in [(3, 4), (0, 0), (int(xs[0]), int(ys[0]))]:
+        for pol_i, pol_val in ((0, 1), (1, 0)):
+            sel = vs & (xs.astype(int) == px) & (ys.astype(int) == py) & (
+                (ps > 0) if pol_val else (ps <= 0))
+            n_sel = sel.sum()
+            np.testing.assert_allclose(arr[0, py, px, pol_i], n_sel, atol=1e-4)
+            if n_sel:
+                np.testing.assert_allclose(
+                    arr[0, py, px, 2 + pol_i], tn[sel].mean(), atol=1e-4)
+                np.testing.assert_allclose(
+                    arr[0, py, px, 4 + pol_i], tn[sel].std(), atol=1e-3)
