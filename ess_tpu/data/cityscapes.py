@@ -38,6 +38,7 @@ class CityscapesGray:
         semseg_num_classes: int = 6,
         augmentation: bool = False,
         random_crop: bool = True,
+        standardization: bool = False,
         seed: int = 6,
     ):
         self.height, self.width = height, width
@@ -45,6 +46,9 @@ class CityscapesGray:
         self.num_classes = semseg_num_classes
         self.augmentation = augmentation
         self.random_crop = random_crop
+        # per-image min-max rescale to the full 8-bit range
+        # (cityscapes_loader.py:35-38, :94-98)
+        self.standardization = standardization
         self.resize_hw: Tuple[int, int] = (256, 512) if random_crop else (height, width)
         self.rng = np.random.default_rng(seed)
 
@@ -144,6 +148,11 @@ class CityscapesGray:
         rh, rw = self.resize_hw
         img = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
         label = cv2.resize(label, (rw, rh), interpolation=cv2.INTER_NEAREST)
+
+        if self.standardization:
+            lo, hi = int(img.min()), int(img.max())
+            img = (255.0 * (img.astype(np.float32) - lo)
+                   / max(hi - lo, 1)).astype(np.uint8)
 
         if self.random_crop:
             img = img[: self.height]
