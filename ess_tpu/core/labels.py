@@ -96,7 +96,9 @@ def class_names(num_classes: int) -> list[str]:
         return CLASS_NAMES_6
     if num_classes == 11:
         return CLASS_NAMES_11
-    raise ValueError(f"unsupported class count: {num_classes}")
+    # e.g. the 19-class DSEC streaming eval: no named taxonomy in the
+    # reference either (only 6/11 live in settings.py:179-205)
+    return [f"class_{i}" for i in range(num_classes)]
 
 
 def color_map(num_classes: int) -> np.ndarray:
@@ -104,7 +106,8 @@ def color_map(num_classes: int) -> np.ndarray:
         return COLOR_MAP_6
     if num_classes == 11:
         return COLOR_MAP_11
-    raise ValueError(f"unsupported class count: {num_classes}")
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (num_classes, 3)).astype(np.uint8)
 
 
 def id_to_train_id(labels: np.ndarray, num_classes: int) -> np.ndarray:

@@ -54,3 +54,93 @@ def test_streaming_eval_accumulates(rng):
     # 2 labeled windows out of 6, each 16x16 pixels
     assert s["cm"].sum() == 2 * 16 * 16
     assert 0 <= s["mean_iou"] <= 100
+
+
+def test_dsec_19class_streaming_end_to_end(tmp_path, rng):
+    """BASELINE config 5: long-horizon streaming eval over a DSEC-style
+    sequence with 19-class labels, carried ConvLSTM state, metrics at the
+    label-aligned windows."""
+    pytest.importorskip("h5py")
+    pytest.importorskip("cv2")
+    import cv2
+    import h5py
+    import os
+
+    # fixture with a 19classes label dir
+    seq_dir = str(tmp_path / "test" / "zurich_city_13_a")
+    os.makedirs(os.path.join(seq_dir, "semantic", "19classes", "data"),
+                exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "events", "left"), exist_ok=True)
+    n = 20000
+    t = np.sort(rng.integers(0, 1_000_000, n)).astype(np.int64)
+    with h5py.File(os.path.join(seq_dir, "events", "left", "events.h5"), "w") as f:
+        f.create_dataset("events/x", data=rng.integers(0, 640, n).astype(np.uint16))
+        f.create_dataset("events/y", data=rng.integers(0, 480, n).astype(np.uint16))
+        f.create_dataset("events/t", data=t)
+        f.create_dataset("events/p", data=rng.integers(0, 2, n).astype(np.uint8))
+        ms = np.arange(t[-1] // 1000 + 2, dtype=np.int64) * 1000
+        f.create_dataset("ms_to_idx", data=np.searchsorted(t, ms))
+        f.create_dataset("t_offset", data=np.int64(0))
+    yy, xx = np.mgrid[0:480, 0:640]
+    with h5py.File(os.path.join(seq_dir, "events", "left", "rectify_map.h5"), "w") as f:
+        f.create_dataset("rectify_map",
+                         data=np.stack([xx, yy], -1).astype(np.float32))
+    ts_lbl = np.linspace(400_000, 990_000, 10).astype(np.int64)
+    np.savetxt(os.path.join(seq_dir, "semantic", "timestamps.txt"), ts_lbl,
+               fmt="%d")
+    for i in range(10):
+        cv2.imwrite(os.path.join(seq_dir, "semantic", "19classes", "data",
+                                 f"{i:06d}.png"),
+                    rng.integers(0, 19, (440, 640)).astype(np.uint8))
+
+    from ess_tpu.data.dsec import DSECSequence, SequenceRecurrent
+    seq = DSECSequence(seq_dir, mode="val", nr_events_data=1,
+                       nr_events_window=1024, semseg_num_classes=19,
+                       tile_bin=False)
+    stream = SequenceRecurrent(seq, nr_events_window=1024)
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
+            sensor_b=EventDatasetConfig(name="DSEC_events", shape=(440, 640),
+                                        nr_events_data=1,
+                                        nr_events_window=1024),
+        ),
+        model=ModelConfig(model_name="ess_supervised", e2vid_base_channels=8,
+                          compute_dtype="float32"),
+        task=TaskConfig(semseg_num_classes=19),
+        optim=OptimConfig(),
+    )
+    # 19-class names aren't in the 6/11 taxonomy tables; construct metrics
+    # directly in run_streaming_eval via cfg.task.class_names -> needs names:
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=480, sensor_width=640, num_bins=5, crop_bottom=40,
+        trilinear=True, normalize=True))
+
+    from ess_tpu.train.streaming import make_streaming_steps
+    from ess_tpu.train.metrics import MetricsSemseg
+    from ess_tpu.data.pipeline import to_soa
+    import jax.numpy as jnp_
+
+    encode_step, score_step = make_streaming_steps(mods, pipe)
+    metrics = MetricsSemseg(19, 255, [f"c{i}" for i in range(19)])
+    recon_state = None
+    n_scored = 0
+    for i in range(len(stream)):
+        sample = to_soa(stream[i])
+        batch = {k: jnp_.asarray(np.asarray(v)[None]) for k, v in sample.items()}
+        if recon_state is None:
+            recon_state = mods.recon_val.init_state(1)
+        if bool(sample["has_label"]):
+            recon_state, cm = score_step(state, recon_state, batch)
+            metrics.update_confusion(np.asarray(cm))
+            n_scored += 1
+        else:
+            batch.pop("label", None)
+            recon_state = encode_step(state, recon_state, batch)
+    assert n_scored > 0
+    s = metrics.summary()
+    assert s["cm"].shape == (19, 19)
+    assert s["cm"].sum() == n_scored * 440 * 640
