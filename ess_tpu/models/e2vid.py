@@ -87,11 +87,13 @@ class RecurrentUNet(nn.Module):
     norm: Optional[str] = None
     use_upsample_conv: bool = True
     final_activation: Optional[str] = "sigmoid"
-    # head conv as an explicit patch matmul (identical params + math).
-    # Measured SLOWER in the full step on v5e (materializing the 25x-wider
-    # patch tensor thrashes HBM: 0.74 s -> 1.96 s), so off by default; kept
-    # as an option for sensors/configs where the tradeoff differs.
-    head_im2col: bool = False
+    # Head-conv implementation. The 5-channel voxel input is MXU-hostile for
+    # XLA's conv lowering (~4 TF/s measured); the Pallas patch kernel
+    # (ops/conv_pallas.py) wins 1.5x in isolation but loses in the full step
+    # (the NHWC->channels-major transpose it needs costs more than it saves:
+    # 232 -> 225 windows/s), so 'xla' stays the default. 'pallas'/'auto'
+    # remain available; identical params + math in every mode.
+    head_conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +113,7 @@ class RecurrentUNet(nn.Module):
 
         head = ConvLayer(
             self.base_channels, kernel_size=5, strides=1,
-            activation="relu", norm=None, im2col=self.head_im2col,
+            activation="relu", norm=None, conv_impl=self.head_conv_impl,
             dtype=self.dtype, name="head",
         )(compute, train=train)
 

@@ -54,17 +54,24 @@ def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:
 
 
 class _Im2ColConv(nn.Module):
-    """Stride-1 conv evaluated as an explicit patch matmul.
+    """Stride-1 conv evaluated as an explicit patch contraction.
 
     Mathematically identical to nn.Conv (same 'kernel'/'bias' param tree, so
-    checkpoints interchange), but contracts over k*k*C_in in ONE matmul.
-    For MXU-hostile channel counts (the 5-bin voxel-grid head conv, which
-    XLA runs at ~4 TF/s) the 125-wide contraction is ~3x faster on v5e.
+    checkpoints interchange), but contracts over k*k*C_in — the fix for
+    MXU-hostile channel counts (the 5-bin voxel-grid head conv, which XLA's
+    conv lowering runs at ~4 TF/s on v5e).
+
+    impl='pallas': the patch matrix is built tile-wise in VMEM by the
+    ops.conv_pallas kernel (1.5x over XLA's conv at head shapes; forward
+    -only, fine for the frozen/stop_gradient E2VID paths).
+    impl='xla_im2col': plain XLA patches (measured SLOWER end-to-end: the
+    25x-wider patch tensor thrashes HBM); kept for comparison.
     """
 
     features: int
     kernel_size: int
     use_bias: bool = True
+    impl: str = "pallas"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +80,13 @@ class _Im2ColConv(nn.Module):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else jnp.zeros((self.features,), self.dtype))
+
+        if self.impl == "pallas":
+            from ess_tpu.ops.conv_pallas import head_conv_pallas
+            return head_conv_pallas(x, kernel, bias).astype(self.dtype)
+
         pad = k // 2
         xb = jnp.pad(x.astype(self.dtype),
                      ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -87,10 +101,7 @@ class _Im2ColConv(nn.Module):
         out = jax.lax.dot_general(
             patches, wflat, (((3,), (0,)), ((), ())),
             preferred_element_type=self.dtype)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + bias.astype(self.dtype)
-        return out
+        return out + bias.astype(self.dtype)
 
 
 class ConvLayer(nn.Module):
@@ -101,16 +112,31 @@ class ConvLayer(nn.Module):
     strides: int = 1
     activation: Optional[str] = "relu"
     norm: Optional[str] = None  # None | 'BN' | 'IN'
-    im2col: bool = False  # evaluate as a patch matmul (stride 1 only)
+    # conv_impl: 'xla' (default) | 'pallas' | 'xla_im2col' | 'auto'
+    # ('auto' = pallas patch kernel when on TPU, stride 1 and H % 8 == 0 —
+    # the few-channel head-conv case; otherwise XLA conv)
+    conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
+
+    def _resolve_impl(self, x: jax.Array) -> str:
+        impl = self.conv_impl
+        if impl == "auto":
+            import jax as _jax
+            ok = (_jax.default_backend() == "tpu" and self.strides == 1
+                  and x.shape[1] % 8 == 0)
+            impl = "pallas" if ok else "xla"
+        return impl
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
-        if self.im2col and self.strides == 1:
+        impl = self._resolve_impl(x)
+        if impl in ("pallas", "xla_im2col") and self.strides == 1:
             x = _Im2ColConv(
                 self.features, self.kernel_size,
-                use_bias=self.norm != "BN", dtype=self.dtype, name="Conv_0",
+                use_bias=self.norm != "BN",
+                impl="pallas" if impl == "pallas" else "xla",
+                dtype=self.dtype, name="Conv_0",
             )(x)
         else:
             x = nn.Conv(
