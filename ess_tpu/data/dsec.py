@@ -190,12 +190,20 @@ class SequenceRecurrent:
 
         ev = self.seq.slicer.get_events_fixed_num_recurrent(
             i * self.nr_events_window, (i + 1) * self.nr_events_window)
-        raw, valid = pad_windows([events_dict_to_xytp(ev)], self.nr_events_window)
+        # every streamed window is rectified exactly like the random-access
+        # path (reference sequence_recurrent.py:239)
+        events = self.seq._rectify(events_dict_to_xytp(ev))
+        raw, valid = pad_windows([events], self.nr_events_window)
         out = {
             "raw_events": raw,
             "valid": valid,
             "is_first": np.bool_(i == 0),
         }
+        if self.seq.tile_bin:
+            from ess_tpu.ops.voxel_pallas import host_tile_bin
+            raw, valid, offsets = host_tile_bin(
+                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH)
+            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         li = self.label_idx.get(i)
         if li is not None:
             out["label"] = cv2.imread(self.seq.label_files[li], 0).astype(np.uint8)

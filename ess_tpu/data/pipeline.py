@@ -56,6 +56,9 @@ class PipelineConfig:
                                      # streams); False = temporal bilinear
     rectify: bool = False            # apply rectify_map ON DEVICE (slow
                                      # gather; production rectifies on host)
+    use_pallas: Optional[bool] = None  # None = auto (Pallas on TPU)
+    pallas_interpret: bool = False   # run the kernel interpreted (CPU mesh
+                                     # dryruns/tests of the production path)
 
     @property
     def channels(self) -> int:
@@ -180,6 +183,8 @@ class EventPipeline:
                 rectify_map=self.rectify_map if cfg.rectify else None,
                 normalize=cfg.normalize,
                 tile_offsets=tile_offsets,
+                use_pallas=cfg.use_pallas,
+                pallas_interpret=cfg.pallas_interpret,
             )
             return self._transform_grid(grids, aug)
 
@@ -230,6 +235,8 @@ class EventPipeline:
             rectify_map=self.rectify_map if cfg.rectify else None,
             normalize=cfg.normalize,
             tile_offsets=offs.reshape(b * t_dim, -1) if offs is not None else None,
+            use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
         )
         aug = self.sample_augment(rng, b, train=train)
         rep = lambda a: None if a is None else jnp.repeat(a, t_dim, axis=0)

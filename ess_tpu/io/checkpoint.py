@@ -20,6 +20,12 @@ import jax
 import numpy as np
 
 
+# Mid-epoch autosave keys live above this base so they never collide with
+# epoch keys (the reference saves only per-epoch, saver.py:15-31; step
+# autosaves are a preemption-safety capability added here).
+AUTOSAVE_BASE = 1_000_000
+
+
 class CheckpointManager:
     """Thin wrapper over orbax.checkpoint for TrainState pytrees."""
 
@@ -46,11 +52,18 @@ class CheckpointManager:
             self.manager.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        """Latest completed-EPOCH save (mid-epoch autosaves excluded)."""
+        steps = [s for s in self.manager.all_steps() if s < AUTOSAVE_BASE]
+        return max(steps) if steps else None
+
+    def latest(self) -> Optional[int]:
+        """Latest save of ANY kind — preemption resume prefers this; keys
+        >= AUTOSAVE_BASE are mid-epoch step autosaves."""
         return self.manager.latest_step()
 
     def restore(self, state_template, epoch: Optional[int] = None):
         """Restore a full TrainState (resume_training path)."""
-        epoch = self.latest_epoch() if epoch is None else epoch
+        epoch = self.latest() if epoch is None else epoch
         assert epoch is not None, "no checkpoint found"
         restored = self.manager.restore(
             epoch,
@@ -58,6 +71,20 @@ class CheckpointManager:
                 state=self._ocp.args.StandardRestore(state_template)),
         )
         return restored["state"]
+
+    def restore_metadata(self, key: int) -> Optional[dict]:
+        """The JSON metadata saved alongside a checkpoint (epoch/step
+        bookkeeping — the reference stores the same in its .pt dicts,
+        saver.py:15-31), or None for checkpoints saved without it."""
+        try:
+            restored = self.manager.restore(
+                key,
+                args=self._ocp.args.Composite(
+                    metadata=self._ocp.args.JsonRestore()),
+            )
+            return restored.get("metadata")
+        except BaseException:
+            return None
 
     def restore_pretrained(self, state_template, epoch: Optional[int] = None,
                            *, skip_frozen: bool = True):

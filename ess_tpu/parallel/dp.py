@@ -30,9 +30,20 @@ DATA_AXIS = "data"
 def make_mesh(num_devices: int = -1, axis: str = DATA_AXIS,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the first ``num_devices`` devices
-    (-1 = all)."""
+    (-1 = all).
+
+    Raises when fewer devices exist than requested — a silently truncated
+    mesh would "pass" multi-chip tests on one chip.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices > 0:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} device(s) exist "
+                f"(platform={devs[0].platform if devs else '?'}); set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N + "
+                "JAX_PLATFORMS=cpu before jax initializes to fake a slice")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
 

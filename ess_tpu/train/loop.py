@@ -119,11 +119,32 @@ class Trainer:
         self.step_count = 0
         self.epoch = 0
 
-        if cfg.checkpoint.resume_training and self.ckpt is not None:
-            latest = self.ckpt.latest_epoch()
+        if cfg.checkpoint.resume_training:
+            from ess_tpu.io.checkpoint import AUTOSAVE_BASE
+            # resume_file (reference settings_DDD17.yaml:52-54) points at a
+            # previous run (its dir or its checkpoints/ subdir); without it,
+            # resume from this run's own checkpoint dir.
+            src = self.ckpt
+            rf = cfg.checkpoint.resume_file
+            if rf:
+                if os.path.isdir(os.path.join(rf, "checkpoints")):
+                    rf = os.path.join(rf, "checkpoints")
+                src = CheckpointManager(rf)
+            latest = src.latest() if src is not None else None
             if latest is not None:
-                self.state = self.ckpt.restore(self.state, latest)
-                self.epoch = latest + 1
+                self.state = src.restore(self.state, latest)
+                # continue TB curves where they left off (saver.py:15-31
+                # stores step_count for the same reason)
+                self.step_count = int(self.state.step)
+                meta = src.restore_metadata(latest) or {}
+                if latest >= AUTOSAVE_BASE:
+                    # preemption save: re-run the interrupted epoch with the
+                    # restored params/opt/step (data order restarts)
+                    self.epoch = int(meta.get("epoch", 0))
+                else:
+                    self.epoch = int(meta.get("epoch", latest)) + 1
+                print(f"[ess-tpu] resumed from checkpoint {latest} "
+                      f"(epoch {self.epoch}, step {self.step_count})")
 
         if mesh is not None:
             from ess_tpu.parallel import batch_sharding, replicate
@@ -161,9 +182,13 @@ class Trainer:
                         f"train/{k}", float(v), self.step_count)
             if (self.save_every_steps and self.ckpt is not None
                     and self.step_count % self.save_every_steps == 0):
-                # async orbax save; epoch key reserved for epoch saves
-                self.ckpt.save(1_000_000 + self.step_count,
-                               jax.device_get(self.state))
+                # async orbax save; keys >= AUTOSAVE_BASE never collide with
+                # epoch keys
+                from ess_tpu.io.checkpoint import AUTOSAVE_BASE
+                self.ckpt.save(AUTOSAVE_BASE + self.step_count,
+                               jax.device_get(self.state),
+                               metadata={"epoch": self.epoch,
+                                         "step_count": self.step_count})
             if self.profile_steps and self.step_count == self.profile_steps[1]:
                 jax.profiler.stop_trace()
 
@@ -254,7 +279,9 @@ class Trainer:
                 last_summary = self.validate()
             self.train_epoch()
             if self.ckpt is not None:
-                self.ckpt.save(epoch, jax.device_get(self.state))
+                self.ckpt.save(epoch, jax.device_get(self.state),
+                               metadata={"epoch": epoch,
+                                         "step_count": self.step_count})
         if self.val_b is not None or self.val_a is not None:
             last_summary = self.validate()
         if self.ckpt is not None:

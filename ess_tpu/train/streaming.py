@@ -51,9 +51,11 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline):
 
     def _window(batch_soa):
         take = lambda a: a[:, 0] if a.ndim == 3 else a
+        offs = batch_soa.get("ev_tile_offsets")
         return voxel_fn(take(batch_soa["ev_x"]), take(batch_soa["ev_y"]),
                         take(batch_soa["ev_t"]), take(batch_soa["ev_p"]),
-                        take(batch_soa["ev_valid"]))
+                        take(batch_soa["ev_valid"]),
+                        tile_offsets=take(offs) if offs is not None else None)
 
     def encode_step(state: TrainState, recon_state, batch):
         b = batch["ev_x"].shape[0]

@@ -134,6 +134,40 @@ def test_dsec_recurrent_stream(tmp_path):
     assert stream[labels[0]]["label"].shape == (440, 640)
 
 
+def test_dsec_recurrent_stream_rectifies(tmp_path):
+    """Streamed windows must carry RECTIFIED float coords, exactly like the
+    random-access path (reference sequence_recurrent.py:239)."""
+    pytest.importorskip("h5py")
+    pytest.importorskip("cv2")
+    import h5py
+    from ess_tpu.data.slicer import events_dict_to_xytp
+
+    seq_dir = str(tmp_path / "train" / "zurich_city_00_a")
+    make_dsec_seq(seq_dir, n_labels=10)
+    # non-identity map: x += 0.25, y += 0.5 (clipped in-bounds)
+    path = os.path.join(seq_dir, "events", "left", "rectify_map.h5")
+    with h5py.File(path, "r+") as f:
+        m = f["rectify_map"][()]
+        m[..., 0] = np.clip(m[..., 0] + 0.25, 0, 639.0)
+        m[..., 1] = np.clip(m[..., 1] + 0.5, 0, 479.0)
+        f["rectify_map"][...] = m
+
+    seq = DSECSequence(seq_dir, nr_events_data=1, nr_events_window=1024)
+    stream = SequenceRecurrent(seq, nr_events_window=1024)
+    s = stream[1]
+    got = s["raw_events"][0][s["valid"][0]]
+    # parity with the random-access path's rectification for the same slice
+    raw = seq.slicer.get_events_fixed_num_recurrent(1024, 2048)
+    expect = seq._rectify(events_dict_to_xytp(raw))
+    expect[:, 2] -= expect[0, 2]  # pad_windows re-zeroes t per window
+    assert got.shape == expect.shape
+    order = lambda a: a[np.lexsort((a[:, 3], a[:, 2], a[:, 1], a[:, 0]))]
+    np.testing.assert_allclose(order(got), order(expect), rtol=0, atol=1e-5)
+    # fractional coordinates prove the map gather actually happened
+    frac = got[:, 0] % 1.0
+    assert np.allclose(frac[got[:, 0] < 639], 0.25)
+
+
 def make_cityscapes(root, n=3, seed=0):
     import cv2
 

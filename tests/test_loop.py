@@ -71,6 +71,31 @@ def test_supervised_loop_resume(tmp_path):
     tr2 = Trainer(cfg2, train_b=train_b, val_b=None, log_dir=run_dir)
     assert tr2.epoch == 2  # resumes past both epochs
     assert int(np.asarray(tr2.state.step)) == step_after
+    # TB curves continue where they left off
+    assert tr2.step_count == step_after
+
+
+def test_resume_from_mid_epoch_autosave(tmp_path):
+    """A preemption between epoch saves resumes from the step autosave:
+    step_count continues, the interrupted epoch re-runs."""
+    from ess_tpu.io.checkpoint import AUTOSAVE_BASE
+
+    cfg = loop_config("ess_supervised", tmp_path)
+    train_b, _ = event_loaders()
+    run_dir = str(tmp_path / "run")
+    tr = Trainer(cfg, train_b=train_b, val_b=None, log_dir=run_dir,
+                 save_every_steps=2)
+    tr.train_epoch()  # 3 steps -> one autosave at step 2, NO epoch save yet
+    tr.ckpt.wait()
+    assert tr.ckpt.latest_epoch() is None  # autosaves aren't epoch keys
+    assert tr.ckpt.latest() == AUTOSAVE_BASE + 2
+
+    cfg2 = cfg.replace(
+        checkpoint=CheckpointConfig(save_checkpoint=True, resume_training=True))
+    tr2 = Trainer(cfg2, train_b=train_b, val_b=None, log_dir=run_dir)
+    assert tr2.step_count == 2
+    assert int(np.asarray(tr2.state.step)) == 2
+    assert tr2.epoch == 0  # the interrupted epoch re-runs
 
 
 def test_uda_loop_runs(tmp_path):
