@@ -88,18 +88,18 @@ class RecurrentUNet(nn.Module):
     use_upsample_conv: bool = True
     final_activation: Optional[str] = "sigmoid"
     # Head-conv implementation. The 5-channel voxel input is MXU-hostile for
-    # XLA's conv lowering (~4 TF/s measured); the Pallas patch kernel
-    # (ops/conv_pallas.py) wins 1.5x in isolation but loses in the full step
-    # (the NHWC->channels-major transpose it needs costs more than it saves:
-    # 232 -> 225 windows/s), so 'xla' stays the default. 'pallas'/'auto'
-    # remain available; identical params + math in every mode.
-    head_conv_impl: str = "xla"
+    # XLA's direct conv lowering (~4 TF/s measured on v5e); 'auto' resolves
+    # to the space-to-depth block conv (ops/conv_s2d.py: exact same math,
+    # contraction 180 / 128 output lanes) when stride 1, k=5 and even H/W.
+    # The round-1 Pallas patch kernel remains available as 'pallas' but
+    # loses end-to-end to its NHWC->channels-major transpose.
+    head_conv_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jax.Array, states: Sequence, *, train: bool = False,
-        decode: bool = True,
+        decode: bool = True, block_input: bool = False,
     ) -> Tuple[Optional[jax.Array], Tuple, Latent]:
         """Forward one event window.
 
@@ -108,26 +108,49 @@ class RecurrentUNet(nn.Module):
         uses this for all but the final window — only the last window's image
         and decoded features are ever consumed (ess_trainer.py:277-285), so
         skipping the decoder halves the recurrent FLOPs.
+
+        ``block_input=True``: ``x`` is the SPACE-TO-DEPTH window
+        (B, H/2, W/2, 4*C). The head conv and the first encoder's stride-2
+        conv both evaluate in block space (ops/conv_s2d.py) — the full
+        -resolution 32-channel head activation (the single largest HBM
+        tensor of the rollout) is materialized only on decode windows, and
+        both MXU-hostile convs become well-tiled 3x3 convs. Same params,
+        same math.
         """
         compute = x.astype(self.dtype)
 
-        head = ConvLayer(
-            self.base_channels, kernel_size=5, strides=1,
-            activation="relu", norm=None, conv_impl=self.head_conv_impl,
-            dtype=self.dtype, name="head",
-        )(compute, train=train)
+        if block_input:
+            from ess_tpu.ops.conv_s2d import depth_to_space
+
+            head_s2d = ConvLayer(
+                self.base_channels, kernel_size=5, strides=1,
+                activation="relu", norm=None,
+                dtype=self.dtype, name="head",
+            )(compute, train=train, block_space=True)
+            # full-res head only where consumed (decode windows); the scan
+            # body drops latent, so XLA DCEs this transpose there.
+            head = depth_to_space(head_s2d)
+            enc_in = head_s2d
+        else:
+            head = ConvLayer(
+                self.base_channels, kernel_size=5, strides=1,
+                activation="relu", norm=None, conv_impl=self.head_conv_impl,
+                dtype=self.dtype, name="head",
+            )(compute, train=train)
+            enc_in = head
 
         latent: Latent = {1: head}
         blocks = []
         new_states = []
-        h = head
+        h = enc_in
         for i in range(self.num_encoders):
             features = self.base_channels * 2 ** (i + 1)
             h, st = RecurrentConvLayer(
                 features, kernel_size=5, strides=2,
                 recurrent_block=self.recurrent_block, norm=self.norm,
                 dtype=self.dtype, name=f"encoder_{i}",
-            )(h, states[i], train=train)
+            )(h, states[i], train=train,
+              block_space=block_input and i == 0)
             blocks.append(h)
             new_states.append(st)
             latent[2 ** (i + 1)] = h

@@ -83,6 +83,11 @@ class _Im2ColConv(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else jnp.zeros((self.features,), self.dtype))
 
+        if self.impl == "s2d":
+            from ess_tpu.ops.conv_s2d import conv5x5_s2d
+            return conv5x5_s2d(x, kernel, bias if self.use_bias else None,
+                               dtype=self.dtype)
+
         if self.impl == "pallas":
             from ess_tpu.ops.conv_pallas import head_conv_pallas
             return head_conv_pallas(x, kernel, bias).astype(self.dtype)
@@ -104,6 +109,36 @@ class _Im2ColConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _BlockConv(nn.Module):
+    """5x5 conv evaluated on a space-to-depth (block) input.
+
+    Parameters are identical to nn.Conv's (5, 5, C_in, features) 'kernel' +
+    'bias', so checkpoints interchange with every other impl; the kernel is
+    remapped to block space at apply time (ops/conv_s2d.py). strides=1
+    keeps the output in block space (4*features channels, one per 2x2
+    phase); strides=2 lands directly at half resolution — the natural
+    layout for the E2VID head + first recurrent encoder, which then never
+    materialize a full-resolution intermediate.
+    """
+
+    features: int
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2d: jax.Array) -> jax.Array:
+        from ess_tpu.ops.conv_s2d import conv5x5_s2d_blocks, conv5x5_s2d_stride2
+
+        cin = x_s2d.shape[-1] // 4
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        fn = conv5x5_s2d_blocks if self.strides == 1 else conv5x5_s2d_stride2
+        return fn(x_s2d, kernel, bias, dtype=self.dtype)
+
+
 class ConvLayer(nn.Module):
     """Conv + optional norm + optional activation (submodules.py:7-31)."""
 
@@ -121,21 +156,29 @@ class ConvLayer(nn.Module):
     def _resolve_impl(self, x: jax.Array) -> str:
         impl = self.conv_impl
         if impl == "auto":
-            import jax as _jax
-            ok = (_jax.default_backend() == "tpu" and self.strides == 1
-                  and x.shape[1] % 8 == 0)
-            impl = "pallas" if ok else "xla"
+            ok = (self.strides == 1 and self.kernel_size == 5
+                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            impl = "s2d" if ok else "xla"
         return impl
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 block_space: bool = False) -> jax.Array:
+        if block_space:
+            # x is space-to-depth; params stay (5,5,C,features)
+            assert self.kernel_size == 5 and self.norm is None, (
+                "block-space path supports 5x5 norm-free convs")
+            x = _BlockConv(self.features, self.strides,
+                           use_bias=True, dtype=self.dtype, name="Conv_0")(x)
+            return activation_fn(self.activation)(x)
         pad = self.kernel_size // 2
         impl = self._resolve_impl(x)
-        if impl in ("pallas", "xla_im2col") and self.strides == 1:
+        if (impl in ("pallas", "xla_im2col", "s2d") and self.strides == 1
+                and not (impl == "s2d" and self.kernel_size != 5)):
             x = _Im2ColConv(
                 self.features, self.kernel_size,
                 use_bias=self.norm != "BN",
-                impl="pallas" if impl == "pallas" else "xla",
+                impl={"pallas": "pallas", "s2d": "s2d"}.get(impl, "xla"),
                 dtype=self.dtype, name="Conv_0",
             )(x)
         else:
@@ -326,11 +369,12 @@ class RecurrentConvLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, state, *, train: bool = False):
+    def __call__(self, x: jax.Array, state, *, train: bool = False,
+                 block_space: bool = False):
         x = ConvLayer(
             self.features, self.kernel_size, self.strides,
             activation="relu", norm=self.norm, dtype=self.dtype, name="conv",
-        )(x, train=train)
+        )(x, train=train, block_space=block_space)
         if self.recurrent_block == "convlstm":
             cell = ConvLSTMCell(self.features, dtype=self.dtype, name="rnn")
         else:

@@ -60,6 +60,15 @@ class Reconstructor:
     # disable the recurrent connection: state resets every window
     # (inference_options --no-recurrent, image_reconstructor.py:109-112)
     no_recurrent: bool = False
+    # Evaluate head + first encoder in space-to-depth block layout
+    # (ops/conv_s2d.py): identical math/params, no full-res head
+    # intermediate on encoder-only windows. Requires a norm-free model
+    # (E2VID-lightweight is); auto-disabled otherwise.
+    block_space: bool = True
+
+    @property
+    def _use_blocks(self) -> bool:
+        return self.block_space and self.model.norm is None
 
     @property
     def geometry(self) -> CropGeometry:
@@ -83,8 +92,14 @@ class Reconstructor:
         """
         x = preprocess_event_tensor(events, normalize=self.normalize, flip=self.flip)
         x = reflect_pad(x, self.geometry)
-        img, new_state, latent = self.model.apply(
-            {"params": params}, x, state, decode=decode)
+        if self._use_blocks:
+            from ess_tpu.ops.conv_s2d import space_to_depth
+            img, new_state, latent = self.model.apply(
+                {"params": params}, space_to_depth(x), state, decode=decode,
+                block_input=True)
+        else:
+            img, new_state, latent = self.model.apply(
+                {"params": params}, x, state, decode=decode)
         if decode and self.standardize:
             lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
             hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)

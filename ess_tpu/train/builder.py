@@ -51,6 +51,7 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         skip_type=m.e2vid_skip_type,
         recurrent_block=m.e2vid_recurrent_block,
         norm=m.e2vid_norm,
+        head_conv_impl=m.head_conv_impl,
         dtype=dtype,
     )
 

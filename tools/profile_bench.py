@@ -1,0 +1,135 @@
+"""Profile the DSEC supervised bench step and print top device ops.
+
+Captures a jax.profiler trace of a few train steps on the real TPU and
+parses the xplane to attribute time per fused op — the measurement tool
+behind the kernel/rollout optimization work (BENCH_r*.json).
+
+Usage: python tools/profile_bench.py [trace_dir]
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_xplane(trace_dir: str, top: int = 45, steps: int = 3) -> None:
+    """Aggregate device time per fused-op group from the xplane trace.
+
+    (tensorboard_plugin_profile's converter is incompatible with the baked
+    tensorflow, so read the XSpace proto directly.)"""
+    import re
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.xplane.pb"))
+    assert files, f"no xplane under {trace_dir}"
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(sorted(files)[-1], "rb").read())
+
+    for plane in space.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = plane.event_metadata
+        total = defaultdict(float)
+        count = defaultdict(int)
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                # strip trailing .N fusion indices to group duplicates
+                key = re.sub(r"\.\d+$", "", name)
+                total[key] += ev.duration_ps / 1e9  # -> ms
+                count[key] += 1
+        grand = sum(total.values())
+        print(f"\n== {plane.name}: {grand / steps:.2f} ms/step over {steps} steps ==")
+        print(f"{'ms/step':>9}  {'%':>5}  {'n':>5}  op")
+        for key, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{ms / steps:9.3f}  {100 * ms / grand:5.1f}  "
+                  f"{count[key]:5d}  {key[:110]}")
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ess_profile"
+
+    import jax
+    import numpy as np
+
+    import bench
+
+    # Build the bench step + batch exactly as bench.main does.
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig,
+    )
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
+            sensor_b=EventDatasetConfig(
+                name="DSEC_events", shape=(440, 640),
+                nr_events_data=bench.WINDOWS, nr_temporal_bins=bench.BINS,
+                nr_events_window=bench.EVENTS_PER_WINDOW),
+        ),
+        model=ModelConfig(model_name="ess_supervised",
+                          compute_dtype="bfloat16"),
+        task=TaskConfig(semseg_num_classes=bench.NUM_CLASSES),
+        optim=OptimConfig(batch_size_b=bench.BATCH),
+    )
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipeline = EventPipeline(PipelineConfig(
+        sensor_height=bench.SENSOR_H, sensor_width=bench.SENSOR_W,
+        num_bins=bench.BINS, crop_bottom=40, trilinear=True, normalize=True))
+    step = sup.make_train_step(mods, pipeline)
+
+    rng = np.random.default_rng(0)
+    shape = (bench.BATCH, bench.WINDOWS, bench.EVENTS_PER_WINDOW)
+    raw = np.zeros(shape + (4,), np.float32)
+    raw[..., 0] = rng.uniform(0, bench.SENSOR_W - 1, shape)
+    raw[..., 1] = rng.uniform(0, bench.SENSOR_H - 1, shape)
+    raw[..., 2] = np.sort(rng.uniform(0, 5e4, shape), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, shape)
+    valid = np.ones(shape, bool)
+    from ess_tpu.ops.voxel_pallas import host_tile_bin
+    import jax.numpy as jnp
+    sraw = np.empty_like(raw)
+    svalid = np.empty_like(valid)
+    offs = []
+    for b in range(bench.BATCH):
+        sraw[b], svalid[b], o = host_tile_bin(
+            raw[b], valid[b], height=bench.SENSOR_H, width=bench.SENSOR_W)
+        offs.append(o)
+    batch = {
+        "ev_x": jnp.asarray(sraw[..., 0]), "ev_y": jnp.asarray(sraw[..., 1]),
+        "ev_t": jnp.asarray(sraw[..., 2]), "ev_p": jnp.asarray(sraw[..., 3]),
+        "ev_valid": jnp.asarray(svalid),
+        "ev_tile_offsets": jnp.asarray(np.stack(offs)),
+        "label": jnp.asarray(
+            rng.integers(0, bench.NUM_CLASSES, (bench.BATCH, 440, 640)),
+            jnp.int32),
+    }
+
+    state, out = step(state, batch)
+    float(out["loss"])  # warmup/compile
+
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(3):
+        state, out = step(state, batch)
+        float(out["loss"])
+    jax.profiler.stop_trace()
+    print("trace written to", trace_dir)
+
+
+if __name__ == "__main__":
+    main()
