@@ -24,6 +24,7 @@ def build_loaders(cfg, for_train=True):
 
     ds_b = cfg.dataset.sensor_b
     rectify_map = None
+    from ess_tpu.ops.batch_voxel import effective_bins
     if ds_b.name.startswith("DSEC"):
         from ess_tpu.data.dsec import DSECEvents
         train_set = DSECEvents(ds_b.dataset_path, mode="train",
@@ -31,26 +32,38 @@ def build_loaders(cfg, for_train=True):
                                nr_events_window=ds_b.nr_events_window,
                                fixed_duration=ds_b.fixed_duration,
                                delta_t_per_data=ds_b.delta_t_per_data,
-                               semseg_num_classes=cfg.task.semseg_num_classes)
+                               semseg_num_classes=cfg.task.semseg_num_classes,
+                               tile_bins=effective_bins(
+                                   ds_b.nr_temporal_bins, ds_b.separate_pol,
+                                   True))
         val_set = DSECEvents(ds_b.dataset_path, mode="val",
                              nr_events_data=ds_b.nr_events_data,
                              nr_events_window=ds_b.nr_events_window,
                              fixed_duration=ds_b.fixed_duration,
                              delta_t_per_data=ds_b.delta_t_per_data,
-                             semseg_num_classes=cfg.task.semseg_num_classes)
+                             semseg_num_classes=cfg.task.semseg_num_classes,
+                             tile_bins=effective_bins(
+                                 ds_b.nr_temporal_bins, ds_b.separate_pol,
+                                 True))
     elif ds_b.name.startswith("DDD17"):
         from ess_tpu.data.ddd17 import DDD17Events
         train_set = DDD17Events(ds_b.dataset_path, split=ds_b.split_train,
                                 nr_events_data=ds_b.nr_events_data,
                                 nr_events_window=ds_b.nr_events_window,
                                 fixed_duration=ds_b.fixed_duration,
-                                delta_t_per_data=ds_b.delta_t_per_data)
+                                delta_t_per_data=ds_b.delta_t_per_data,
+                                tile_bins=effective_bins(
+                                    ds_b.nr_temporal_bins, ds_b.separate_pol,
+                                    False))
         val_set = DDD17Events(ds_b.dataset_path, split="valid",
                               nr_events_data=ds_b.nr_events_data,
                               nr_events_window=ds_b.nr_events_window,
                               fixed_duration=ds_b.fixed_duration,
                               delta_t_per_data=ds_b.delta_t_per_data,
-                              require_paired_data=ds_b.require_paired_data_val)
+                              require_paired_data=ds_b.require_paired_data_val,
+                              tile_bins=effective_bins(
+                                  ds_b.nr_temporal_bins, ds_b.separate_pol,
+                                  False))
     else:
         raise ValueError(f"unknown sensor-B dataset: {ds_b.name}")
 

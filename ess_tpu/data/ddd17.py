@@ -63,6 +63,7 @@ class DDD17Events:
         delta_t_per_data: int = 50,
         require_paired_data: bool = False,
         tile_bin: bool = True,
+        tile_bins: int = 5,
     ):
         data_dirs = sorted(glob.glob(os.path.join(root, "dir*")))
         assert len(data_dirs) > 0, f"no DDD17 'dir*' folders under {root}"
@@ -73,6 +74,7 @@ class DDD17Events:
         self.fixed_duration = fixed_duration
         self.require_paired_data = require_paired_data
         self.tile_bin = tile_bin
+        self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
 
         t_interval = nr_events_data * delta_t_per_data if fixed_duration else 50
         self.dirs = get_split_dirs(data_dirs, split)
@@ -137,7 +139,8 @@ class DDD17Events:
         if self.tile_bin:
             from ess_tpu.ops.voxel_pallas import host_tile_bin
             raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_SHAPE[0], width=SENSOR_SHAPE[1])
+                raw, valid, height=SENSOR_SHAPE[0], width=SENSOR_SHAPE[1],
+                bins=self.tile_bins)
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         if self.split == "valid" and self.require_paired_data:
             img = self._paired_frame(mask_file)

@@ -54,6 +54,7 @@ class DSECSequence:
         semseg_num_classes: int = 11,
         remove_time_window: int = 250,
         tile_bin: bool = True,
+        tile_bins: int = 5,
     ):
         self.seq_path = seq_path
         self.mode = mode
@@ -61,6 +62,7 @@ class DSECSequence:
         self.nr_events_window = nr_events_window
         self.fixed_duration = fixed_duration
         self.tile_bin = tile_bin
+        self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
         self.delta_t_us = nr_events_data * delta_t_per_data * 1000
 
         ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
@@ -125,7 +127,8 @@ class DSECSequence:
             # pre-sort by kernel tile so the device skips its lax.sort
             from ess_tpu.ops.voxel_pallas import host_tile_bin
             raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH)
+                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
+                bins=self.tile_bins)
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         return out
 
@@ -202,7 +205,8 @@ class SequenceRecurrent:
         if self.seq.tile_bin:
             from ess_tpu.ops.voxel_pallas import host_tile_bin
             raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH)
+                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
+                bins=self.seq.tile_bins)
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         li = self.label_idx.get(i)
         if li is not None:

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ess_tpu.ops.batch_voxel import voxelize_window_soa, voxelize_windows
+from ess_tpu.ops.batch_voxel import (
+    _use_pallas_default, voxelize_window_soa, voxelize_windows)
 from ess_tpu.ops.resize import resize_bilinear
 
 
@@ -142,6 +143,43 @@ class EventPipeline:
             crop_x = jax.random.randint(kx, (batch_size,), 0, w - cw + 1)
         return AugmentParams(flip=flip, crop_y=crop_y, crop_x=crop_x)
 
+    # -------------------- space-to-depth fast path --------------------
+
+    def s2d_capable(self, *, train: bool) -> bool:
+        """True when the batched build can emit space-to-depth blocks
+        directly (Pallas voxelizer + transforms expressible in block space:
+        even-row bottom crop and horizontal flip; no resize / random crop).
+        """
+        cfg = self.cfg
+        use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                      else _use_pallas_default())
+        return (use_pallas
+                and cfg.representation == "voxel_grid"
+                and cfg.resize_to is None
+                and (cfg.random_crop is None or not train)
+                and cfg.crop_bottom % 2 == 0
+                and cfg.sensor_height % 2 == 0
+                and cfg.sensor_width % 2 == 0
+                and not (cfg.rectify and self.rectify_map is not None))
+
+    def _transform_s2d(self, grids: jax.Array, aug: AugmentParams) -> jax.Array:
+        """Block-space transforms: bottom crop (even rows) + horizontal flip.
+
+        A horizontal flip of the full-res grid maps block column X, phase s
+        to block column WB-1-X, phase 1-s: reverse the block axis and swap
+        the s phase groups of the (r*2+s)*C + c channel order.
+        """
+        cfg = self.cfg
+        if cfg.crop_bottom > 0:
+            grids = grids[:, : (cfg.sensor_height - cfg.crop_bottom) // 2]
+        if aug.flip is not None:
+            c = grids.shape[-1] // 4
+            perm = np.arange(grids.shape[-1])
+            perm = perm.reshape(2, 2, c)[:, ::-1].reshape(-1)
+            flipped = grids[:, :, ::-1, :][..., perm]
+            grids = jnp.where(aug.flip[:, None, None, None], flipped, grids)
+        return grids
+
     # -------------------- per-window transform --------------------
 
     def _transform_grid(self, grids: jax.Array, aug: AugmentParams) -> jax.Array:
@@ -209,7 +247,8 @@ class EventPipeline:
         return label
 
     def build_all(self, batch: dict, rng: Optional[jax.Array] = None,
-                  *, train: bool = False):
+                  *, train: bool = False, layout: str = "nhwc",
+                  out_dtype=jnp.float32):
         """SoA batch -> (grids (B, T, H', W', C), transformed label).
 
         Voxelizes ALL T windows in ONE batched kernel invocation (B*T folded
@@ -219,11 +258,18 @@ class EventPipeline:
         at the cost of materializing the (B, T, H, W, C) stack in HBM
         (~450 MB at DSEC scale) — use the fused per-window path
         (make_window_fn + rollout_events) when HBM is tight.
+
+        ``layout='s2d'`` (requires :meth:`s2d_capable`) emits space-to-depth
+        block windows (B, T, H'/2, W'/2, 4*C) in ``out_dtype`` — the layout
+        the E2VID block-space head consumes — without ever materializing the
+        full-resolution grids.
         """
         cfg = self.cfg
         b, t_dim, n = batch["ev_x"].shape
         flat = lambda a: a.reshape(b * t_dim, n)
         offs = batch.get("ev_tile_offsets")
+        if layout == "s2d":
+            assert self.s2d_capable(train=train), "s2d layout unavailable"
         grids = voxelize_window_soa(
             flat(batch["ev_x"]), flat(batch["ev_y"]), flat(batch["ev_t"]),
             flat(batch["ev_p"]), flat(batch["ev_valid"]),
@@ -237,12 +283,17 @@ class EventPipeline:
             tile_offsets=offs.reshape(b * t_dim, -1) if offs is not None else None,
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
+            layout=layout,
+            out_dtype=out_dtype if layout == "s2d" else jnp.float32,
         )
         aug = self.sample_augment(rng, b, train=train)
         rep = lambda a: None if a is None else jnp.repeat(a, t_dim, axis=0)
         aug_t = AugmentParams(flip=rep(aug.flip), crop_y=rep(aug.crop_y),
                               crop_x=rep(aug.crop_x))
-        grids = self._transform_grid(grids, aug_t)
+        if layout == "s2d":
+            grids = self._transform_s2d(grids, aug_t)
+        else:
+            grids = self._transform_grid(grids, aug_t)
         grids = grids.reshape(b, t_dim, *grids.shape[1:])
         label = batch.get("label")
         if label is not None:

@@ -52,16 +52,19 @@ def _masked_time_norm(t: jax.Array, valid: jax.Array, num_bins: int) -> jax.Arra
 
 def _normalize_flat(grid: jax.Array) -> jax.Array:
     """Nonzero mean/std standardization per sample on (B, C, cells) layout
-    (bandwidth-friendly: reductions run over the large minor axis)."""
+    (bandwidth-friendly: reductions run over the large minor axis). Stats
+    accumulate in f32 regardless of the grid dtype (bf16 grids from the
+    Pallas writeback)."""
     nz = grid != 0
+    g32 = grid.astype(jnp.float32)
     num = jnp.sum(nz, axis=(1, 2))
     num_f = jnp.maximum(num, 1).astype(jnp.float32)
-    mean = jnp.sum(grid, axis=(1, 2)) / num_f
-    var = jnp.sum(grid * grid, axis=(1, 2)) / num_f - mean * mean
+    mean = jnp.sum(g32, axis=(1, 2)) / num_f
+    var = jnp.sum(g32 * g32, axis=(1, 2)) / num_f - mean * mean
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     std = jnp.where(std > 0, std, 1.0)
-    out = jnp.where(nz, (grid - mean[:, None, None]) / std[:, None, None], 0.0)
-    return jnp.where((num > 0)[:, None, None], out, grid)
+    out = jnp.where(nz, (g32 - mean[:, None, None]) / std[:, None, None], 0.0)
+    return jnp.where((num > 0)[:, None, None], out, g32).astype(grid.dtype)
 
 
 def _use_pallas_default() -> bool:
@@ -69,23 +72,34 @@ def _use_pallas_default() -> bool:
     return _jax.default_backend() == "tpu"
 
 
+def effective_bins(num_bins: int, separate_pol: bool, trilinear: bool) -> int:
+    """Channel count the Pallas kernel builds (separate_pol folds polarity
+    into the bin axis on the temporal-bilinear path). Host tile binning
+    (``host_tile_bin(bins=...)``) must use THIS value so tile geometry
+    matches the device kernel."""
+    return 2 * num_bins if (separate_pol and not trilinear) else num_bins
+
+
 def _voxelize_pallas(
     x, y, t, p, valid, *, num_bins, height, width, separate_pol, trilinear,
-    tile_offsets=None, interpret: bool = False,
+    tile_offsets=None, interpret: bool = False, layout: str = "nhwc",
+    oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
-    The kernel needs H % 8 == 0 and W % 128 == 0; smaller sensors (DDD17's
-    260x346) voxelize into a padded grid and crop — events never land in the
-    pad so the crop is exact. The temporal-bilinear variant is the same
-    kernel with integer coords (zero spatial fractions); separate_pol folds
-    the polarity into the channel axis by shifting the normalized time by
-    ``num_bins`` for negative events.
-    """
-    from ess_tpu.ops.voxel_pallas import voxelize_tiled, bin_events_device
+    The kernel needs H % tile_h == 0 and W % 128 == 0; smaller sensors
+    (DDD17's 260x346) voxelize into a padded grid and crop — events never
+    land in the pad so the crop is exact. The temporal-bilinear variant is
+    the same kernel with integer coords (zero spatial fractions);
+    separate_pol folds the polarity into the channel axis by shifting the
+    normalized time by ``num_bins`` for negative events.
 
-    hp = ((height + 7) // 8) * 8
-    wp = ((width + 127) // 128) * 128
+    ``layout='s2d'`` emits space-to-depth blocks (B, H/2, W/2, 4*C) without
+    ever materializing the full-resolution grid (requires height/width even;
+    the caller crops in block space).
+    """
+    from ess_tpu.ops.voxel_pallas import (
+        bin_events_device, tile_h_for_bins, voxelize_tiled)
 
     ok = valid & (x >= 0) & (x < width) & (y >= 0) & (y < height)
     ts = _masked_time_norm(t.astype(jnp.float32), valid, num_bins)
@@ -97,16 +111,19 @@ def _voxelize_pallas(
         y = jnp.floor(y.astype(jnp.float32))
         ts = jnp.clip(ts, 0.0, num_bins - 1)
 
-    bins_eff = num_bins
-    if separate_pol and not trilinear:
+    bins_eff = effective_bins(num_bins, separate_pol, trilinear)
+    if bins_eff != num_bins:
         ts = ts + jnp.where(pol < 0, float(num_bins), 0.0)
         pol = jnp.ones_like(pol)
-        bins_eff = 2 * num_bins
+
+    th = tile_h_for_bins(bins_eff)
+    hp = ((height + th - 1) // th) * th
+    wp = ((width + 127) // 128) * 128
 
     if tile_offsets is None:
         xs, ys, tss, ps, offsets = jax.vmap(
             lambda a, b_, c, d, v: bin_events_device(
-                a, b_, c, d, v, height=hp, width=wp)
+                a, b_, c, d, v, height=hp, width=wp, bins=bins_eff)
         )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
           jnp.where(ok, pol, 0.0), ok)
     else:
@@ -116,7 +133,10 @@ def _voxelize_pallas(
         offsets = tile_offsets
     grid = voxelize_tiled(xs, ys, tss, ps, offsets,
                           bins=bins_eff, height=hp, width=wp,
-                          interpret=interpret, nhwc=True)
+                          interpret=interpret, layout=layout,
+                          oh_dtype=oh_dtype, out_dtype=out_dtype)
+    if layout == "s2d":
+        return grid[:, : height // 2, : width // 2, :]
     return grid[:, :height, :width, :]  # (B, H, W, C)
 
 
@@ -138,6 +158,9 @@ def voxelize_window_soa(
     use_pallas: Optional[bool] = None,
     tile_offsets: Optional[jax.Array] = None,
     pallas_interpret: bool = False,
+    layout: str = "nhwc",
+    oh_dtype=jnp.bfloat16,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -164,14 +187,20 @@ def voxelize_window_soa(
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas and representation == "voxel_grid":
+        assert rectify_map is None or tile_offsets is None, (
+            "host tile offsets were computed on pre-rectification "
+            "coordinates; rectify on the host before binning instead")
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
-            tile_offsets=tile_offsets, interpret=pallas_interpret)  # NHWC
+            tile_offsets=tile_offsets, interpret=pallas_interpret,
+            layout=layout, oh_dtype=oh_dtype,
+            out_dtype=out_dtype)  # NHWC or s2d blocks
         if normalize:
             flat = grid.reshape(grid.shape[0], 1, -1)
             grid = _normalize_flat(flat).reshape(grid.shape)
         return grid
+    assert layout == "nhwc", "s2d layout requires the Pallas voxelizer"
 
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
     cells = height * width

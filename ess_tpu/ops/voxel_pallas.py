@@ -7,19 +7,22 @@ TPU scatter executes ~1 update / ~10 ns (serialized), costing ~70 ms per
 
 This kernel reformulates the scatter as dense MXU work:
 
-1. Events are pre-binned by spatial tile (TILE_H x TILE_W = 8 x 128 pixels);
+1. Events are pre-binned by spatial tile (tile_h x 128 pixels, tile_h chosen
+   per bin count so the accumulator's row axis fills one 128-row MXU tile);
    binning is one fast ``lax.sort`` on-device (~6 ms for 800k events) or
    free on the host during ingest.
 2. One Pallas program per (sample, supertile of K tiles) streams its event
    blocks HBM->VMEM with double-buffered DMA (all four event fields in one
    stacked copy).
 3. The 8 trilinear corners factor separably: corner rows (t-bin, y) with
-   weight pol*wt*wy, corner cols x with weight wx. Each 1024-event block
-   builds a row-one-hot R (E, BINS*(TILE_H+1)) and a col-one-hot C
-   (E, K*(TILE_W+8)) on the VPU and accumulates R^T @ C on the MXU —
-   8 serial updates/event become fused MACs at matmul speed.
+   weight pol*wt*wy, corner cols x with weight wx. Each event block builds a
+   row tent-plane R (E, bins*(tile_h+1)) and a col tent-plane C
+   (E, K*(128+8)) on the VPU and accumulates R^T @ C on the MXU (bf16
+   operands, f32 accumulation) — 8 serial updates/event become fused MACs at
+   matmul speed.
 4. Tiles carry a +1 halo row/col (corners crossing a tile edge); a cheap
-   dense XLA pass folds halos into neighbouring tiles afterwards.
+   dense XLA pass folds halos into neighbouring tiles afterwards (optionally
+   emitting the space-to-depth block layout the E2VID model consumes).
 """
 
 from __future__ import annotations
@@ -32,37 +35,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
 TILE_W = 128
-CHUNK = 1024      # events per DMA block (HBM 1-D tiling granule)
-K_TILES = 15      # spatial tiles per program (sweep-tuned on v5e)
+CHUNK = 512       # events per DMA block (sweep-tuned on v5e; the kernel is
+                  # VPU-bound on tent-plane construction, so smaller blocks
+                  # trade less partial-block waste for more DMA issues)
+K_TILES = 5       # max spatial tiles per program (sweep-tuned on v5e)
 COL_SLOT = TILE_W + 8   # per-tile column slot in the accumulator (128+halo+pad)
 
 
-def _row_pad(bins: int) -> int:
-    rows = bins * (TILE_H + 1)
+def tile_h_for_bins(bins: int) -> int:
+    """Tile height such that the accumulator rows bins*(tile_h+1) fill (but
+    never exceed) one 128-row MXU tile. Even, clamped to [4, 64]."""
+    th = 128 // bins - 1
+    th -= th % 2
+    return max(4, min(th, 64))
+
+
+def _row_pad(bins: int, tile_h: int) -> int:
+    rows = bins * (tile_h + 1)
     return ((rows + 7) // 8) * 8
 
 
-def tile_id(x, y, width: int) -> jax.Array:
+def _pick_k(n_tiles: int, k_max: int) -> int:
+    return next(k for k in range(min(k_max, n_tiles), 0, -1)
+                if n_tiles % k == 0)
+
+
+def tile_id(x, y, width: int, tile_h: int) -> jax.Array:
     """Spatial tile index of an event's floor coordinate."""
     tiles_x = width // TILE_W
     tx = jnp.clip(x.astype(jnp.int32) // TILE_W, 0, tiles_x - 1)
-    ty = y.astype(jnp.int32) // TILE_H
+    ty = y.astype(jnp.int32) // tile_h
     return ty * tiles_x + tx
 
 
 def bin_events_device(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
-    valid: jax.Array, *, height: int, width: int,
+    valid: jax.Array, *, height: int, width: int, bins: int,
 ) -> Tuple[jax.Array, ...]:
     """Sort one sample's events by spatial tile on-device.
 
     Invalid events sort to the end (tile id = n_tiles). Returns sorted
     (x, y, ts, pol) and the (n_tiles + 1,) int32 offsets array.
     """
-    n_tiles = (height // TILE_H) * (width // TILE_W)
-    tid = jnp.where(valid, tile_id(x, y, width), n_tiles)
+    th = tile_h_for_bins(bins)
+    n_tiles = (height // th) * (width // TILE_W)
+    tid = jnp.where(valid, tile_id(x, y, width, th), n_tiles)
     tid, xs, ys, tss, ps = jax.lax.sort(
         (tid, x, y, ts, pol), num_keys=1)
     offsets = jnp.searchsorted(
@@ -71,21 +89,26 @@ def bin_events_device(
     return xs, ys, tss, ps, offsets
 
 
-def host_tile_bin(raw_windows, valid, *, height: int, width: int):
+def host_tile_bin(raw_windows, valid, *, height: int, width: int,
+                  bins: int = 5):
     """Host-side tile binning of (T, N, 4) raw windows for the kernel.
 
     Sorts each window's VALID in-frame events by ``tile_id`` on the padded
     (kernel-aligned) grid and returns (raw_sorted, valid_sorted, offsets)
-    with offsets of shape (T, n_tiles + 1) int32. Runs in loader worker
-    threads, overlapped with device compute — this removes the on-device
-    ``lax.sort`` (~5 ms/window-batch) from the train step.
+    with offsets of shape (T, n_tiles + 1) int32. ``bins`` is the kernel's
+    EFFECTIVE bin count (2*num_bins for separate_pol temporal grids) — it
+    fixes the tile height, so it must match the device-side kernel config.
+    Runs in loader worker threads, overlapped with device compute — this
+    removes the on-device ``lax.sort`` (~5 ms/window-batch) from the train
+    step.
     """
     import numpy as np
 
-    hp = ((height + TILE_H - 1) // TILE_H) * TILE_H
+    th = tile_h_for_bins(bins)
+    hp = ((height + th - 1) // th) * th
     wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
     ntx = wp // TILE_W
-    n_tiles = (hp // TILE_H) * ntx
+    n_tiles = (hp // th) * ntx
 
     t_dim, n = raw_windows.shape[:2]
     out = np.zeros_like(raw_windows)
@@ -97,7 +120,7 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int):
               & (w[:, 1] >= 0) & (w[:, 1] < height))
         ev = w[ok]
         tx = np.clip(ev[:, 0].astype(np.int64) // TILE_W, 0, ntx - 1)
-        ty = ev[:, 1].astype(np.int64) // TILE_H
+        ty = ev[:, 1].astype(np.int64) // th
         tid = ty * ntx + tx
         order = np.argsort(tid, kind="stable")
         m = len(ev)
@@ -109,8 +132,8 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int):
 
 
 def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
-            bins: int, height: int, width: int, n_pad: int, k_tiles: int,
-            oh_dtype=jnp.float32):
+            bins: int, tile_h: int, width: int, n_pad: int, k_tiles: int,
+            chunk: int, oh_dtype):
     b = pl.program_id(0)
     sup = pl.program_id(1)
     n_tiles_x = width // TILE_W
@@ -120,26 +143,27 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     end = offs_ref[b, tid0 + k_tiles]
     size = end - start
 
-    rows = _row_pad(bins)
+    rows = _row_pad(bins, tile_h)
     cols = k_tiles * COL_SLOT
     acc0 = jnp.zeros((rows, cols), jnp.float32)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rows), 1)
-    # float iota hoisted out of the block loop (an in-loop i32->f32 convert
+    # float iotas hoisted out of the block loop (an in-loop i32->f32 convert
     # of the wide plane costs a full extra VPU pass per block; Mosaic's
     # tpu.iota is integer-only, so convert once here)
+    row_iota_f = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, rows), 1).astype(jnp.float32)
     col_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK, cols), 1).astype(jnp.float32)
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+        jnp.int32, (chunk, cols), 1).astype(jnp.float32)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
 
-    first_blk = start // CHUNK
-    last_blk = jnp.maximum(end - 1, start) // CHUNK
+    first_blk = start // chunk
+    last_blk = jnp.maximum(end - 1, start) // chunk
     nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
 
     def dma(blk_i, slot):
-        s = b * n_pad + (first_blk + blk_i) * CHUNK
+        s = b * n_pad + (first_blk + blk_i) * chunk
         return pltpu.make_async_copy(
-            ev_ref.at[:, pl.ds(s, CHUNK)], buf.at[slot], sems.at[slot])
+            ev_ref.at[:, pl.ds(s, chunk)], buf.at[slot], sems.at[slot])
 
     @pl.when(nblocks > 0)
     def _():
@@ -159,68 +183,85 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         ts = buf[slot, 2]
         pol = buf[slot, 3]
 
-        gpos = (first_blk + ci) * CHUNK + pos_iota
+        gpos = (first_blk + ci) * chunk + pos_iota
         in_range = (gpos >= start) & (gpos < end)
 
         xi = jnp.floor(ex).astype(jnp.int32)
         yi = jnp.floor(ey).astype(jnp.int32)
         tx = jnp.clip(xi // TILE_W, 0, n_tiles_x - 1)
-        ty = yi // TILE_H
+        ty = yi // tile_h
         tid = ty * n_tiles_x + tx
         slot_idx = tid - tid0          # 0..k_tiles-1 for in-range events
 
         xl = ex - (tx * TILE_W).astype(jnp.float32)
-        yl = ey - (ty * TILE_H).astype(jnp.float32)
-        x0 = jnp.floor(xl).astype(jnp.int32)
-        y0 = jnp.floor(yl).astype(jnp.int32)
+        yl = ey - (ty * tile_h).astype(jnp.float32)
         c0 = jnp.floor(ts).astype(jnp.int32)
-        wx1 = xl - x0.astype(jnp.float32)
-        wy1 = yl - y0.astype(jnp.float32)
         wt1 = ts - c0.astype(jnp.float32)
 
-        # tent: weight at col c is max(0, 1 - |c - xpos|) for the two
-        # neighbouring integer columns — one arithmetic pass over the wide
-        # (CHUNK, cols) plane instead of two compare-selects
-        xpos = (slot_idx * COL_SLOT + x0).astype(jnp.float32) + wx1
+        # Both planes are tents: weight at position q is
+        # max(0, 1 - |q - p|) for the two neighbouring integer positions —
+        # exactly the bilinear split, in one arithmetic pass per plane.
+        # Col plane: position = tile slot base + local x (fraction = wx).
+        xpos = (slot_idx * COL_SLOT).astype(jnp.float32) + xl
         ohc = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_f - xpos[:, None]))
 
-        ohr = jnp.zeros((CHUNK, rows), jnp.float32)
+        # Row plane: within time-bin block cc the position is
+        # cc*(tile_h+1) + local y (fraction = wy); the tent never crosses
+        # into block cc+1 because local y < tile_h and each block spans
+        # tile_h+1 rows (the halo row). Two passes, one per time bin; a
+        # bin falling outside [0, bins) lands in the padded row range
+        # (>= bins*(tile_h+1)) which the halo fold slices away.
         base = jnp.where(in_range, pol, 0.0)
+        ohr = jnp.zeros((chunk, rows), jnp.float32)
         for dc, wt in ((0, 1.0 - wt1), (1, wt1)):
-            cc = c0 + dc
-            cok = (cc >= 0) & (cc < bins)
-            for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
-                r = cc * (TILE_H + 1) + (y0 + dy)
-                w = jnp.where(cok, base * wt * wy, 0.0)
-                ohr = ohr + jnp.where(row_iota == r[:, None], w[:, None], 0.0)
+            p = ((c0 + dc) * (tile_h + 1)).astype(jnp.float32) + yl
+            tent = jnp.maximum(0.0, 1.0 - jnp.abs(row_iota_f - p[:, None]))
+            ohr = ohr + (base * wt)[:, None] * tent
 
         return acc + jax.lax.dot_general(
-            ohr.astype(oh_dtype), ohc.astype(oh_dtype), (((0,), (0,)), ((), ())),
+            ohr.astype(oh_dtype), ohc.astype(oh_dtype),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, nblocks, chunk_body, acc0)
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def voxelize_tiled(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
-    interpret: bool = False, oh_dtype=jnp.float32, nhwc: bool = False,
+    interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nchw",
+    k_tiles: Optional[int] = None, chunk: int = CHUNK,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """(B, N) tile-sorted events + (B, n_tiles+1) offsets -> (B, bins, H, W).
+    """(B, N) tile-sorted events + (B, n_tiles+1) offsets -> voxel grids.
 
     ``ts`` is the normalized time in [0, bins-1]; ``pol`` the signed value
     (+-1, zeroed for invalid events); events must be sorted by ``tile_id``
     with ``offsets`` delimiting each tile's slice.
+
+    ``layout``: 'nchw' -> (B, bins, H, W); 'nhwc' -> (B, H, W, bins);
+    's2d' -> (B, H/2, W/2, 4*bins) space-to-depth blocks (ops/conv_s2d.py
+    channel order), skipping the full-resolution grid entirely.
+
+    ``oh_dtype``: dtype of the tent-plane matmul operands. bf16 (default)
+    runs the MXU at full rate; per-corner weights round to 8-bit mantissa
+    (~0.4% relative) with exact f32 accumulation. Pass jnp.float32 for
+    bit-parity with the scatter reference.
+
+    ``out_dtype``: dtype of the tile accumulators written back to HBM (the
+    in-VMEM accumulation is always f32). bf16 halves the halo-fold pass's
+    HBM traffic — use it when the consumer is a bf16 model anyway.
     """
     b, n = x.shape
-    assert height % TILE_H == 0 and width % TILE_W == 0, (height, width)
-    n_tiles = (height // TILE_H) * (width // TILE_W)
-    k_tiles = next(k for k in range(min(K_TILES, n_tiles), 0, -1)
-                   if n_tiles % k == 0)
-    rows = _row_pad(bins)
-    cols = k_tiles * COL_SLOT
-    n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+    tile_h = tile_h_for_bins(bins)
+    assert height % tile_h == 0 and width % TILE_W == 0, (height, width)
+    n_tiles = (height // tile_h) * (width // TILE_W)
+    k = k_tiles if k_tiles is not None else _pick_k(n_tiles, K_TILES)
+    assert n_tiles % k == 0, (n_tiles, k)
+    rows = _row_pad(bins, tile_h)
+    cols = k * COL_SLOT
+    n_pad = ((n + chunk - 1) // chunk) * chunk
 
     # one stacked (4, B*n_pad) buffer => a single DMA fetches all fields
     ev = jnp.stack([
@@ -228,10 +269,11 @@ def voxelize_tiled(
         for a in (x, y, ts, pol)
     ])
 
-    grid = (b, n_tiles // k_tiles)
+    grid = (b, n_tiles // k)
     out = pl.pallas_call(
-        functools.partial(_kernel, bins=bins, height=height, width=width,
-                          n_pad=n_pad, k_tiles=k_tiles, oh_dtype=oh_dtype),
+        functools.partial(_kernel, bins=bins, tile_h=tile_h, width=width,
+                          n_pad=n_pad, k_tiles=k, chunk=chunk,
+                          oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -239,87 +281,108 @@ def voxelize_tiled(
             out_specs=pl.BlockSpec(
                 (1, 1, rows, cols), lambda b_, t_, offs: (b_, t_, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 4, CHUNK), jnp.float32),  # double buffer
+                pltpu.VMEM((2, 4, chunk), jnp.float32),  # double buffer
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_tiles // k_tiles, rows, cols), jnp.float32),
+            (b, n_tiles // k, rows, cols), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(offsets, ev)
 
-    if nhwc:
-        return _fold_halo_nhwc(out, bins=bins, height=height, width=width)
-    return _fold_halo(out, bins=bins, height=height, width=width)
+    if layout == "s2d":
+        return _fold_halo_s2d(out, bins=bins, tile_h=tile_h,
+                              height=height, width=width)
+    if layout == "nhwc":
+        return _fold_halo_nhwc(out, bins=bins, tile_h=tile_h,
+                               height=height, width=width)
+    return _fold_halo(out, bins=bins, tile_h=tile_h,
+                      height=height, width=width)
 
 
-def _fold_halo(tiles: jax.Array, *, bins: int, height: int, width: int) -> jax.Array:
-    """(B, n_super, rows_pad, K*COL_SLOT) accumulators -> (B, bins, H, W).
-
-    Each tile slot holds (TILE_H+1) rows x (TILE_W+1) cols per bin; the +1
-    halo row/col belongs to the neighbouring tile below/right.
-    """
+def _tiles_to_blocks(tiles: jax.Array, *, bins: int, tile_h: int,
+                     height: int, width: int):
+    """(B, n_super, rows_pad, K*COL_SLOT) accumulators ->
+    (core, halo_y, halo_x, halo_yx) views at
+    (b, n_ty, n_tx, bins, tile_h[, +1], TILE_W[, +1])."""
     b = tiles.shape[0]
-    th, tw = TILE_H, TILE_W
+    th, tw = tile_h, TILE_W
     n_ty, n_tx = height // th, width // tw
-    t = tiles.reshape(b, -1, tiles.shape[2], tiles.shape[3] // COL_SLOT, COL_SLOT)
+    t = tiles.reshape(b, -1, tiles.shape[2], tiles.shape[3] // COL_SLOT,
+                      COL_SLOT)
     t = jnp.moveaxis(t, 3, 2)                    # (b, n_super, K, rows, slot)
     t = t.reshape(b, n_ty, n_tx, tiles.shape[2], COL_SLOT)
     t = t[:, :, :, : bins * (th + 1), : tw + 1]
     t = t.reshape(b, n_ty, n_tx, bins, th + 1, tw + 1)
+    return t[..., :th, :tw], t[..., th, :tw], t[..., :th, tw], t[..., th, tw]
 
-    core = t[..., :th, :tw]
-    halo_y = t[..., th, :tw]
-    halo_x = t[..., :th, tw]
-    halo_yx = t[..., th, tw]
 
-    add_y = jnp.zeros_like(core)
-    add_y = add_y.at[:, 1:, :, :, 0, :].set(halo_y[:, :-1])
-    add_x = jnp.zeros_like(core)
-    add_x = add_x.at[:, :, 1:, :, :, 0].set(halo_x[:, :, :-1])
-    add_yx = jnp.zeros_like(core)
-    add_yx = add_yx.at[:, 1:, 1:, :, 0, 0].set(halo_yx[:, :-1, :-1])
+def _fold_halo(tiles: jax.Array, *, bins: int, tile_h: int,
+               height: int, width: int) -> jax.Array:
+    """Fold tile halos and emit (B, bins, H, W).
 
-    full = core + add_y + add_x + add_yx
+    Each tile slot holds (tile_h+1) rows x (TILE_W+1) cols per bin; the +1
+    halo row/col belongs to the neighbouring tile below/right.
+    """
+    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+        tiles, bins=bins, tile_h=tile_h, height=height, width=width)
+    full = core
+    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
+    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
+    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
+    b = tiles.shape[0]
     full = jnp.moveaxis(full, 3, 1)               # (b, bins, ty, tx, th, tw)
     full = jnp.moveaxis(full, 4, 3)               # (b, bins, ty, th, tx, tw)
     return full.reshape(b, bins, height, width)
 
 
-def _fold_halo_nhwc(tiles: jax.Array, *, bins: int, height: int, width: int) -> jax.Array:
+def _fold_halo_nhwc(tiles: jax.Array, *, bins: int, tile_h: int,
+                    height: int, width: int) -> jax.Array:
     """Like :func:`_fold_halo` but emits (B, H, W, bins) directly — the model
     consumes NHWC, so folding straight to it saves one full-grid transpose
     pass per window."""
-    b = tiles.shape[0]
-    th, tw = TILE_H, TILE_W
-    n_ty, n_tx = height // th, width // tw
-    t = tiles.reshape(b, -1, tiles.shape[2], tiles.shape[3] // COL_SLOT, COL_SLOT)
-    t = jnp.moveaxis(t, 3, 2)
-    t = t.reshape(b, n_ty, n_tx, tiles.shape[2], COL_SLOT)
-    t = t[:, :, :, : bins * (th + 1), : tw + 1]
-    t = t.reshape(b, n_ty, n_tx, bins, th + 1, tw + 1)
-
-    core = t[..., :th, :tw]
-    halo_y = t[..., th, :tw]
-    halo_x = t[..., :th, tw]
-    halo_yx = t[..., th, tw]
-
-    # in-place region adds (slice + dynamic_update_slice), not full-size
-    # zero tensors
+    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+        tiles, bins=bins, tile_h=tile_h, height=height, width=width)
     full = core
     full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
     full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
     full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
+    b = tiles.shape[0]
     full = jnp.transpose(full, (0, 1, 4, 2, 5, 3))  # (b, ty, th, tx, tw, bins)
     return full.reshape(b, height, width, bins)
+
+
+def _fold_halo_s2d(tiles: jax.Array, *, bins: int, tile_h: int,
+                   height: int, width: int) -> jax.Array:
+    """Fold halos straight into the space-to-depth block layout
+    (B, H/2, W/2, 4*bins), channel = (r*2 + s)*bins + c — exactly
+    ops.conv_s2d.space_to_depth of the NHWC grid, without ever building the
+    full-resolution grid. The E2VID block-space head consumes this directly,
+    removing the per-window s2d transpose from the recurrent scan (~25
+    ms/step at DSEC scale, measured round 2)."""
+    assert tile_h % 2 == 0 and height % 2 == 0, (tile_h, height)
+    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+        tiles, bins=bins, tile_h=tile_h, height=height, width=width)
+    full = core
+    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
+    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
+    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
+    b = tiles.shape[0]
+    th, tw = tile_h, TILE_W
+    n_ty, n_tx = height // th, width // tw
+    # (b, ty, tx, bins, th, tw) -> (b, ty, th/2, tx, tw/2, r, s, bins)
+    full = full.reshape(b, n_ty, n_tx, bins, th // 2, 2, tw // 2, 2)
+    full = jnp.transpose(full, (0, 1, 4, 2, 6, 5, 7, 3))
+    return full.reshape(b, height // 2, width // 2, 4 * bins)
 
 
 def voxelize_trilinear_pallas(
     x: jax.Array, y: jax.Array, t: jax.Array, p: jax.Array,
     valid: jax.Array, *, num_bins: int, height: int, width: int,
     offsets: Optional[jax.Array] = None, interpret: bool = False,
+    oh_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Drop-in trilinear voxelizer: (B, N) SoA events -> (B, bins, H, W).
 
@@ -338,7 +401,7 @@ def voxelize_trilinear_pallas(
     if offsets is None:
         xs, ys, tss, ps, offsets = jax.vmap(
             lambda a, b_, c, d, v: bin_events_device(
-                a, b_, c, d, v, height=height, width=width)
+                a, b_, c, d, v, height=height, width=width, bins=num_bins)
         )(x.astype(jnp.float32), y.astype(jnp.float32), ts,
           jnp.where(ok, pol, 0.0), ok)
     else:
@@ -346,4 +409,4 @@ def voxelize_trilinear_pallas(
                            jnp.where(ok, pol, 0.0))
     return voxelize_tiled(xs, ys, tss, ps, offsets,
                           bins=num_bins, height=height, width=width,
-                          interpret=interpret)
+                          interpret=interpret, oh_dtype=oh_dtype)

@@ -84,12 +84,32 @@ class Reconstructor:
             dtype=dtype or self.model.dtype,
         )
 
-    def step(self, params, events: jax.Array, state, *, decode: bool = True):
+    def step(self, params, events: jax.Array, state, *, decode: bool = True,
+             events_s2d: bool = False):
         """One reconstruction update: preprocess -> pad -> recurrent forward.
 
-        ``events``: (B, H, W, C) voxel grid for one window.
+        ``events``: (B, H, W, C) voxel grid for one window — or, with
+        ``events_s2d=True``, the pre-built (B, H/2, W/2, 4C) space-to-depth
+        blocks (already normalized; geometry must need no padding), as the
+        Pallas voxelizer's s2d fold emits them.
         Returns (image (B, Hp, Wp, 1) or None, new_state, latent dict).
         """
+        if events_s2d:
+            g = self.geometry
+            assert self._use_blocks and not self.flip
+            assert (g.padded_height, g.padded_width) == (self.height, self.width)
+            assert events.shape[1:3] == (self.height // 2, self.width // 2)
+            if self.normalize:
+                # nonzero-standardization is layout-invariant (same value set)
+                events = jax.vmap(normalize_nonzero)(events)
+            img, new_state, latent = self.model.apply(
+                {"params": params}, events, state, decode=decode,
+                block_input=True)
+            if decode and self.standardize:
+                lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
+                hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+                img = (img - lo) / jnp.maximum(hi - lo, 1e-12)
+            return img, new_state, latent
         x = preprocess_event_tensor(events, normalize=self.normalize, flip=self.flip)
         x = reflect_pad(x, self.geometry)
         if self._use_blocks:
@@ -106,26 +126,31 @@ class Reconstructor:
             img = (img - lo) / jnp.maximum(hi - lo, 1e-12)
         return img, new_state, latent
 
-    def rollout(self, params, windows: jax.Array, init_state=None):
+    def rollout(self, params, windows: jax.Array, init_state=None,
+                *, windows_s2d: bool = False):
         """Roll T event windows through the recurrent net via ``lax.scan``.
 
-        ``windows``: (B, T, H, W, C). Returns (final_image, final_state,
-        final_latent) — the quantities ESS training consumes
-        (ess_trainer.py:277-285). The first T-1 windows run encoder-only
-        (state update); only the final window pays for the decoder.
+        ``windows``: (B, T, H, W, C) — or (B, T, H/2, W/2, 4C) pre-built
+        space-to-depth blocks with ``windows_s2d=True``. Returns
+        (final_image, final_state, final_latent) — the quantities ESS
+        training consumes (ess_trainer.py:277-285). The first T-1 windows
+        run encoder-only (state update); only the final window pays for the
+        decoder.
         """
         b, t = windows.shape[:2]
         state = self.init_state(b) if init_state is None else init_state
 
         def body(carry, ev):
-            _, new_state, _ = self.step(params, ev, carry, decode=False)
+            _, new_state, _ = self.step(params, ev, carry, decode=False,
+                                        events_s2d=windows_s2d)
             return new_state, None
 
         if t > 1 and not self.no_recurrent:
             xs = jnp.moveaxis(windows[:, :-1], 1, 0)
             state, _ = jax.lax.scan(body, state, xs)
         final_img, final_state, final_latent = self.step(
-            params, windows[:, -1], state, decode=True)
+            params, windows[:, -1], state, decode=True,
+            events_s2d=windows_s2d)
         return final_img, final_state, final_latent
 
     def rollout_events(self, params, soa: dict, voxel_fn, init_state=None):

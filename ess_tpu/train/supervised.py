@@ -46,8 +46,25 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
     if "ev_x" in batch:
         assert pipeline is not None, "SoA batch requires an EventPipeline"
         if precompute:
-            grids, labels = pipeline.build_all(batch, rng, train=train)
-            img, _, latent = recon.rollout(state.e2vid_params, grids)
+            g = recon.geometry
+            cfg = pipeline.cfg
+            use_s2d = (
+                pipeline.s2d_capable(train=train) and recon._use_blocks
+                and not recon.flip
+                and (g.padded_height, g.padded_width)
+                == (recon.height, recon.width)
+                and cfg.output_size(train) == (recon.height, recon.width))
+            if use_s2d:
+                # voxelizer folds straight to space-to-depth bf16 blocks;
+                # the scan never pays the per-window s2d transpose
+                grids, labels = pipeline.build_all(
+                    batch, rng, train=train, layout="s2d",
+                    out_dtype=recon.model.dtype)
+                img, _, latent = recon.rollout(
+                    state.e2vid_params, grids, windows_s2d=True)
+            else:
+                grids, labels = pipeline.build_all(batch, rng, train=train)
+                img, _, latent = recon.rollout(state.e2vid_params, grids)
         else:
             b = batch["ev_x"].shape[0]
             aug = pipeline.sample_augment(rng, b, train=train)

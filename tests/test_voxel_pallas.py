@@ -29,9 +29,17 @@ def make_soa(rng, b=2, n=700, h=24, w=256, float_coords=True, pad_from=600):
 
 def both(args, **kw):
     ref = voxelize_window_soa(*args, use_pallas=False, **kw)
-    got = voxelize_window_soa(*args, use_pallas=True, pallas_interpret=True, **kw)
+    # f32 tent planes: exact parity with the scatter reference
+    got = voxelize_window_soa(*args, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=1e-4)
+    # bf16 tent planes (production default): 8-bit-mantissa corner weights,
+    # f32 accumulation — bounded relative error
+    got16 = voxelize_window_soa(*args, use_pallas=True, pallas_interpret=True,
+                                **kw)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref),
+                               atol=0.02, rtol=0.03)
     return got
 
 
@@ -67,6 +75,53 @@ def test_pallas_normalize(rng):
     np.testing.assert_allclose(nz.mean(), 0.0, atol=1e-3)
 
 
+def test_pallas_s2d_layout(rng):
+    """layout='s2d' emits exactly space_to_depth(nhwc grid)."""
+    from ess_tpu.ops.conv_s2d import space_to_depth
+
+    args = list(make_soa(rng))
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True,
+              use_pallas=True, pallas_interpret=True, oh_dtype=jnp.float32)
+    nhwc = voxelize_window_soa(*args, **kw)
+    s2d = voxelize_window_soa(*args, layout="s2d", **kw)
+    assert s2d.shape == (2, 12, 128, 20)
+    np.testing.assert_array_equal(np.asarray(s2d),
+                                  np.asarray(space_to_depth(nhwc)))
+
+
+def test_pipeline_build_all_s2d(rng):
+    """EventPipeline.build_all(layout='s2d') == space_to_depth(nhwc build),
+    including bottom crop and horizontal flip expressed in block space."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.conv_s2d import space_to_depth
+
+    b, t_dim, n, h, w = 2, 3, 500, 24, 256
+    batch = {
+        "ev_x": jnp.asarray(rng.uniform(0, w - 1, (b, t_dim, n)), jnp.float32),
+        "ev_y": jnp.asarray(rng.uniform(0, h - 1, (b, t_dim, n)), jnp.float32),
+        "ev_t": jnp.asarray(
+            np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1), jnp.float32),
+        "ev_p": jnp.asarray(rng.integers(0, 2, (b, t_dim, n)), jnp.float32),
+        "ev_valid": jnp.ones((b, t_dim, n), bool),
+        "label": jnp.asarray(rng.integers(0, 5, (b, h - 8, w)), jnp.int32),
+    }
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=8, random_flip=True,
+        use_pallas=True, pallas_interpret=True))
+    assert pipe.s2d_capable(train=True)
+    key = jax.random.PRNGKey(3)
+    ref, lbl_ref = pipe.build_all(batch, key, train=True)
+    got, lbl_got = pipe.build_all(batch, key, train=True, layout="s2d",
+                                  out_dtype=jnp.float32)
+    assert got.shape == (b, t_dim, (h - 8) // 2, w // 2, 20)
+    ref_s2d = jax.vmap(space_to_depth, in_axes=1, out_axes=1)(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_s2d),
+                               atol=0.03, rtol=0.03)
+    np.testing.assert_array_equal(np.asarray(lbl_got), np.asarray(lbl_ref))
+
+
 def test_host_tile_bin_offsets_parity(rng):
     """Host-binned events + offsets produce the same grids as device binning."""
     import numpy as np
@@ -81,8 +136,10 @@ def test_host_tile_bin_offsets_parity(rng):
     valid = np.ones((b, n), bool)
     valid[:, 400:] = False
 
-    sraw, svalid, offs = host_tile_bin(raw, valid, height=h, width=w)
-    assert offs.shape[1] == (24 // 8) * (256 // 128) + 1
+    from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+    th = tile_h_for_bins(5)
+    sraw, svalid, offs = host_tile_bin(raw, valid, height=h, width=w, bins=5)
+    assert offs.shape[1] == (-(-24 // th)) * (256 // 128) + 1
     assert (offs[:, -1] == 400).all()
 
     args_ref = [jnp.asarray(raw[..., i]) for i in range(4)] + [jnp.asarray(valid)]
