@@ -131,8 +131,12 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int,
     return out, out_valid, offsets
 
 
+N_BUF = 4         # DMA buffer depth (prefetch distance N_BUF - 1 hides the
+                  # per-block DMA latency behind ~2-3 us of VPU work)
+
+
 def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
-            bins: int, tile_h: int, width: int, n_pad: int, k_tiles: int,
+            bins: int, tile_h: int, width: int, k_tiles: int,
             chunk: int, oh_dtype):
     b = pl.program_id(0)
     sup = pl.program_id(1)
@@ -161,20 +165,23 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
 
     def dma(blk_i, slot):
-        s = b * n_pad + (first_blk + blk_i) * chunk
+        # one contiguous (4, chunk) block: fields interleaved at chunk
+        # granularity on the device side (voxelize_tiled), so each block is
+        # a single 16*chunk-byte linear DMA instead of four strided rows
         return pltpu.make_async_copy(
-            ev_ref.at[:, pl.ds(s, chunk)], buf.at[slot], sems.at[slot])
+            ev_ref.at[b, first_blk + blk_i], buf.at[slot], sems.at[slot])
 
-    @pl.when(nblocks > 0)
-    def _():
-        dma(0, 0).start()
+    for d in range(N_BUF - 1):
+        @pl.when(d < nblocks)
+        def _(d=d):
+            dma(d, d).start()
 
     def chunk_body(ci, acc):
-        slot = ci % 2
+        slot = ci % N_BUF
 
-        @pl.when(ci + 1 < nblocks)
+        @pl.when(ci + N_BUF - 1 < nblocks)
         def _():
-            dma(ci + 1, (ci + 1) % 2).start()
+            dma(ci + N_BUF - 1, (ci + N_BUF - 1) % N_BUF).start()
 
         dma(ci, slot).wait()
 
@@ -201,6 +208,9 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         # Both planes are tents: weight at position q is
         # max(0, 1 - |q - p|) for the two neighbouring integer positions —
         # exactly the bilinear split, in one arithmetic pass per plane.
+        # (Building the planes natively in bf16 was measured neutral on v5e
+        # — the VPU does not run 2-per-lane here — so they stay f32 and cast
+        # at the matmul.)
         # Col plane: position = tile slot base + local x (fraction = wx).
         xpos = (slot_idx * COL_SLOT).astype(jnp.float32) + xl
         ohc = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_f - xpos[:, None]))
@@ -208,7 +218,7 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         # Row plane: within time-bin block cc the position is
         # cc*(tile_h+1) + local y (fraction = wy); the tent never crosses
         # into block cc+1 because local y < tile_h and each block spans
-        # tile_h+1 rows (the halo row). Two passes, one per time bin; a
+        # tile_h+1 rows (the halo row). Two tents, one per time bin; a
         # bin falling outside [0, bins) lands in the padded row range
         # (>= bins*(tile_h+1)) which the halo fold slices away.
         base = jnp.where(in_range, pol, 0.0)
@@ -262,18 +272,20 @@ def voxelize_tiled(
     rows = _row_pad(bins, tile_h)
     cols = k * COL_SLOT
     n_pad = ((n + chunk - 1) // chunk) * chunk
+    nb = n_pad // chunk
 
-    # one stacked (4, B*n_pad) buffer => a single DMA fetches all fields
+    # (B, n_blocks, 4, chunk): fields interleaved per block so each kernel
+    # DMA is one contiguous 16*chunk-byte copy
     ev = jnp.stack([
-        jnp.pad(a.astype(jnp.float32), ((0, 0), (0, n_pad - n))).reshape(-1)
+        jnp.pad(a.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+        .reshape(b, nb, chunk)
         for a in (x, y, ts, pol)
-    ])
+    ], axis=2)
 
     grid = (b, n_tiles // k)
     out = pl.pallas_call(
         functools.partial(_kernel, bins=bins, tile_h=tile_h, width=width,
-                          n_pad=n_pad, k_tiles=k, chunk=chunk,
-                          oh_dtype=oh_dtype),
+                          k_tiles=k, chunk=chunk, oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -281,8 +293,8 @@ def voxelize_tiled(
             out_specs=pl.BlockSpec(
                 (1, 1, rows, cols), lambda b_, t_, offs: (b_, t_, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 4, chunk), jnp.float32),  # double buffer
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((N_BUF, 4, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((N_BUF,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
