@@ -117,6 +117,12 @@ class DSECSequence:
         else:
             ev = self.slicer.get_events_fixed_num(
                 ts_end, t_dim * self.nr_events_window)
+            if self.tile_bin:
+                got = self._fused_ingest(ev, t_dim)
+                if got is not None:
+                    raw, valid, offsets = got
+                    return {"raw_events": raw, "valid": valid,
+                            "tile_offsets": offsets, "label": label}
             events = self._rectify(events_dict_to_xytp(ev))
             per = len(events) // t_dim
             chunks = [events[i * per: (i + 1) * per] for i in range(t_dim)]
@@ -131,6 +137,21 @@ class DSECSequence:
                 bins=self.tile_bins)
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         return out
+
+    def _fused_ingest(self, ev, t_dim: int):
+        """Native one-pass rectify + pad + tile-bin of raw h5 columns
+        (native/ess_host.cpp ingest_rectify_bin_f32). ~4x the numpy chain
+        on a single core — the loader-side hot path."""
+        from ess_tpu.data import native
+        from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+
+        n_total = len(ev["t"])
+        per = n_total // t_dim
+        starts = np.arange(t_dim, dtype=np.int64) * per
+        ends = starts + per
+        return native.ingest_rectify_bin(
+            ev, starts, ends, self.nr_events_window, self.rectify_map,
+            tile_h=tile_h_for_bins(self.tile_bins))
 
 
 class DSECEvents:
@@ -195,19 +216,21 @@ class SequenceRecurrent:
             i * self.nr_events_window, (i + 1) * self.nr_events_window)
         # every streamed window is rectified exactly like the random-access
         # path (reference sequence_recurrent.py:239)
-        events = self.seq._rectify(events_dict_to_xytp(ev))
-        raw, valid = pad_windows([events], self.nr_events_window)
-        out = {
-            "raw_events": raw,
-            "valid": valid,
-            "is_first": np.bool_(i == 0),
-        }
-        if self.seq.tile_bin:
-            from ess_tpu.ops.voxel_pallas import host_tile_bin
-            raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
-                bins=self.seq.tile_bins)
+        out = {"is_first": np.bool_(i == 0)}
+        got = self.seq._fused_ingest(ev, 1) if self.seq.tile_bin else None
+        if got is not None:
+            raw, valid, offsets = got
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+        else:
+            events = self.seq._rectify(events_dict_to_xytp(ev))
+            raw, valid = pad_windows([events], self.nr_events_window)
+            out.update(raw_events=raw, valid=valid)
+            if self.seq.tile_bin:
+                from ess_tpu.ops.voxel_pallas import host_tile_bin
+                raw, valid, offsets = host_tile_bin(
+                    raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
+                    bins=self.seq.tile_bins)
+                out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         li = self.label_idx.get(i)
         if li is not None:
             out["label"] = cv2.imread(self.seq.label_files[li], 0).astype(np.uint8)

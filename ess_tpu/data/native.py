@@ -53,6 +53,15 @@ def _build() -> Optional[ctypes.CDLL]:
                                             c_i64, f32p]
     cdll.voxelize_temporal_f32.argtypes = [f32p, u8p, c_i64, c_i64, c_i64,
                                            c_i64, ctypes.c_int, f32p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    cdll.tile_bin_f32.argtypes = [f32p, u8p, c_i64, c_i64, c_i64, c_i64,
+                                  c_i64, c_i64, c_i64, c_i64, f32p, u8p,
+                                  i32p, i64p, i32p]
+    cdll.ingest_rectify_bin_f32.argtypes = [
+        u16p, u16p, i64p, u8p, i64p, i64p, c_i64, c_i64,
+        f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
+        f32p, u8p, i32p, i64p, f32p, i32p]
     return cdll
 
 
@@ -115,6 +124,77 @@ def voxelize_host(
                 ev[i], vd[i], ev.shape[1], num_bins, height, width,
                 int(separate_pol), out[i])
     return out
+
+
+def tile_bin(
+    raw_windows: np.ndarray, valid: np.ndarray, *, height: int, width: int,
+    tile_h: int, tile_w: int = 128,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Counting-sort (T, N, 4) raw windows by Pallas tile id.
+
+    Returns (sorted (T, N, 4) f32, valid (T, N) bool, offsets
+    (T, n_tiles+1) i32) on the kernel-aligned padded grid, or None when the
+    native library is unavailable (caller falls back to numpy argsort).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    ntx = wp // tile_w
+    n_tiles = (hp // tile_h) * ntx
+    t_dim, n = raw_windows.shape[:2]
+    ev = np.ascontiguousarray(raw_windows, np.float32)
+    vd = np.ascontiguousarray(valid, np.uint8)
+    out = np.empty_like(ev)
+    out_valid = np.empty((t_dim, n), np.uint8)
+    offsets = np.empty((t_dim, n_tiles + 1), np.int32)
+    counts = np.empty(n_tiles, np.int64)
+    tid_scratch = np.empty(n, np.int32)
+    lib.tile_bin_f32(ev, vd, t_dim, n, height, width, tile_h, tile_w,
+                     ntx, n_tiles, out, out_valid, offsets, counts,
+                     tid_scratch)
+    return out, out_valid.astype(bool), offsets
+
+
+def ingest_rectify_bin(
+    ev: dict, starts: np.ndarray, ends: np.ndarray, capacity: int,
+    rectify_map: np.ndarray, *, tile_h: int, tile_w: int = 128,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Fused DSEC ingest: rectify + pad + tile-bin raw h5 event columns.
+
+    ``ev``: {"x","y","t","p"} columns as read from events.h5;
+    ``starts``/``ends``: per-window [start, end) bounds into them. Returns
+    (raw (T, cap, 4) f32, valid (T, cap) bool, offsets (T, n_tiles+1) i32)
+    or None without the native library.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    mh, mw = rectify_map.shape[:2]
+    hp = -(-mh // tile_h) * tile_h
+    wp = -(-mw // tile_w) * tile_w
+    ntx = wp // tile_w
+    n_tiles = (hp // tile_h) * ntx
+    t_dim = len(starts)
+    x = np.ascontiguousarray(ev["x"], np.uint16)
+    y = np.ascontiguousarray(ev["y"], np.uint16)
+    t = np.ascontiguousarray(ev["t"], np.int64)
+    p = np.ascontiguousarray(ev["p"], np.uint8)
+    rmap = np.ascontiguousarray(rectify_map, np.float32)
+    out = np.empty((t_dim, capacity, 4), np.float32)
+    out_valid = np.empty((t_dim, capacity), np.uint8)
+    offsets = np.empty((t_dim, n_tiles + 1), np.int32)
+    counts = np.empty(n_tiles, np.int64)
+    xy_scratch = np.empty((capacity, 2), np.float32)
+    tid_scratch = np.empty(capacity, np.int32)
+    lib.ingest_rectify_bin_f32(
+        x, y, t, p,
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        t_dim, capacity, rmap, mh, mw, tile_h, tile_w, ntx, n_tiles,
+        out, out_valid, offsets, counts, xy_scratch, tid_scratch)
+    return out, out_valid.astype(bool), offsets
 
 
 def pad_windows_from_bounds(

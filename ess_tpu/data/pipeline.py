@@ -248,7 +248,7 @@ class EventPipeline:
 
     def build_all(self, batch: dict, rng: Optional[jax.Array] = None,
                   *, train: bool = False, layout: str = "nhwc",
-                  out_dtype=jnp.float32):
+                  out_dtype=jnp.float32, time_major: bool = False):
         """SoA batch -> (grids (B, T, H', W', C), transformed label).
 
         Voxelizes ALL T windows in ONE batched kernel invocation (B*T folded
@@ -263,11 +263,24 @@ class EventPipeline:
         block windows (B, T, H'/2, W'/2, 4*C) in ``out_dtype`` — the layout
         the E2VID block-space head consumes — without ever materializing the
         full-resolution grids.
+
+        ``time_major=True`` returns grids with the window axis leading
+        (T, B, ...): the recurrent scan then slices contiguous leading-axis
+        blocks instead of paying a strided gather per window (~10 ms/step at
+        DSEC scale). Labels are unaffected.
         """
         cfg = self.cfg
         b, t_dim, n = batch["ev_x"].shape
-        flat = lambda a: a.reshape(b * t_dim, n)
+        if time_major:
+            # flatten the (small) event buffers window-major so the kernel
+            # grid — and therefore the folded window stack — comes out
+            # (T, B, ...) with no full-grid transpose afterwards
+            flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(t_dim * b, n)
+        else:
+            flat = lambda a: a.reshape(b * t_dim, n)
         offs = batch.get("ev_tile_offsets")
+        if offs is not None and time_major:
+            offs = jnp.swapaxes(offs, 0, 1)
         if layout == "s2d":
             assert self.s2d_capable(train=train), "s2d layout unavailable"
         grids = voxelize_window_soa(
@@ -280,21 +293,29 @@ class EventPipeline:
             trilinear=cfg.trilinear,
             rectify_map=self.rectify_map if cfg.rectify else None,
             normalize=cfg.normalize,
-            tile_offsets=offs.reshape(b * t_dim, -1) if offs is not None else None,
+            tile_offsets=offs.reshape(b * t_dim, -1)
+            if offs is not None else None,
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
             layout=layout,
             out_dtype=out_dtype if layout == "s2d" else jnp.float32,
         )
         aug = self.sample_augment(rng, b, train=train)
-        rep = lambda a: None if a is None else jnp.repeat(a, t_dim, axis=0)
+        if time_major:
+            # flat order is (t, b): per-sample draws tile, not repeat
+            rep = lambda a: None if a is None else jnp.tile(a, t_dim)
+        else:
+            rep = lambda a: None if a is None else jnp.repeat(a, t_dim, axis=0)
         aug_t = AugmentParams(flip=rep(aug.flip), crop_y=rep(aug.crop_y),
                               crop_x=rep(aug.crop_x))
         if layout == "s2d":
             grids = self._transform_s2d(grids, aug_t)
         else:
             grids = self._transform_grid(grids, aug_t)
-        grids = grids.reshape(b, t_dim, *grids.shape[1:])
+        if time_major:
+            grids = grids.reshape(t_dim, b, *grids.shape[1:])
+        else:
+            grids = grids.reshape(b, t_dim, *grids.shape[1:])
         label = batch.get("label")
         if label is not None:
             label = self.apply_label_transform(label, aug)

@@ -56,15 +56,20 @@ def _normalize_flat(grid: jax.Array) -> jax.Array:
     accumulate in f32 regardless of the grid dtype (bf16 grids from the
     Pallas writeback)."""
     nz = grid != 0
-    g32 = grid.astype(jnp.float32)
     num = jnp.sum(nz, axis=(1, 2))
     num_f = jnp.maximum(num, 1).astype(jnp.float32)
-    mean = jnp.sum(g32, axis=(1, 2)) / num_f
-    var = jnp.sum(g32 * g32, axis=(1, 2)) / num_f - mean * mean
+    mean = jnp.sum(grid, axis=(1, 2), dtype=jnp.float32) / num_f
+    var = (jnp.sum(jnp.square(grid.astype(jnp.float32)), axis=(1, 2))
+           / num_f - mean * mean)
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     std = jnp.where(std > 0, std, 1.0)
-    out = jnp.where(nz, (g32 - mean[:, None, None]) / std[:, None, None], 0.0)
-    return jnp.where((num > 0)[:, None, None], out, g32).astype(grid.dtype)
+    # the elementwise pass stays in the grid dtype (a bf16 grid would
+    # otherwise materialize an f32 copy through the fold transposes); the
+    # f32 stats are folded in as dtype-cast scale/shift
+    shift = mean.astype(grid.dtype)[:, None, None]
+    scale = (1.0 / std).astype(grid.dtype)[:, None, None]
+    out = jnp.where(nz, (grid - shift) * scale, jnp.zeros_like(grid))
+    return jnp.where((num > 0)[:, None, None], out, grid)
 
 
 def _use_pallas_default() -> bool:

@@ -100,11 +100,19 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int,
     fixes the tile height, so it must match the device-side kernel config.
     Runs in loader worker threads, overlapped with device compute — this
     removes the on-device ``lax.sort`` (~5 ms/window-batch) from the train
-    step.
+    step. Uses the native C++ counting sort (native/ess_host.cpp
+    tile_bin_f32, ~15x the numpy argsort loop) when available.
     """
     import numpy as np
 
     th = tile_h_for_bins(bins)
+
+    from ess_tpu.data import native
+    got = native.tile_bin(raw_windows, valid, height=height, width=width,
+                          tile_h=th, tile_w=TILE_W)
+    if got is not None:
+        return got
+
     hp = ((height + th - 1) // th) * th
     wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
     ntx = wp // TILE_W

@@ -127,17 +127,21 @@ class Reconstructor:
         return img, new_state, latent
 
     def rollout(self, params, windows: jax.Array, init_state=None,
-                *, windows_s2d: bool = False):
+                *, windows_s2d: bool = False, time_major: bool = False):
         """Roll T event windows through the recurrent net via ``lax.scan``.
 
         ``windows``: (B, T, H, W, C) — or (B, T, H/2, W/2, 4C) pre-built
-        space-to-depth blocks with ``windows_s2d=True``. Returns
-        (final_image, final_state, final_latent) — the quantities ESS
-        training consumes (ess_trainer.py:277-285). The first T-1 windows
-        run encoder-only (state update); only the final window pays for the
-        decoder.
+        space-to-depth blocks with ``windows_s2d=True``; with
+        ``time_major=True`` the first two axes are swapped (T leading) so
+        the scan slices contiguous blocks. Returns (final_image,
+        final_state, final_latent) — the quantities ESS training consumes
+        (ess_trainer.py:277-285). The first T-1 windows run encoder-only
+        (state update); only the final window pays for the decoder.
         """
-        b, t = windows.shape[:2]
+        if time_major:
+            t, b = windows.shape[:2]
+        else:
+            b, t = windows.shape[:2]
         state = self.init_state(b) if init_state is None else init_state
 
         def body(carry, ev):
@@ -146,11 +150,12 @@ class Reconstructor:
             return new_state, None
 
         if t > 1 and not self.no_recurrent:
-            xs = jnp.moveaxis(windows[:, :-1], 1, 0)
+            xs = (windows[:-1] if time_major
+                  else jnp.moveaxis(windows[:, :-1], 1, 0))
             state, _ = jax.lax.scan(body, state, xs)
+        last = windows[-1] if time_major else windows[:, -1]
         final_img, final_state, final_latent = self.step(
-            params, windows[:, -1], state, decode=True,
-            events_s2d=windows_s2d)
+            params, last, state, decode=True, events_s2d=windows_s2d)
         return final_img, final_state, final_latent
 
     def rollout_events(self, params, soa: dict, voxel_fn, init_state=None):

@@ -74,7 +74,35 @@ def task_loss(
     ignore_label: int = 255,
     losses: tuple[str, ...] = ("dice", "cross_entropy"),
 ) -> jax.Array:
-    """Configurable sum of dice + CE (TaskLoss, loss_functions.py:6-24)."""
+    """Configurable sum of dice + CE (TaskLoss, loss_functions.py:6-24).
+
+    When both terms are active the softmax work is shared: one
+    ``log_softmax`` pass feeds the CE pick directly and ``exp`` of it feeds
+    dice — at DSEC scale that saves several full passes over the
+    (B, 440, 640, C) logits versus calling the two losses independently.
+    """
+    if set(losses) >= {"dice", "cross_entropy"}:
+        valid = labels != ignore_label
+        safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        cls = jax.lax.broadcasted_iota(
+            jnp.int32, log_probs.shape, log_probs.ndim - 1)
+        label_mask = cls == safe_labels[..., None]
+        picked = jnp.sum(jnp.where(label_mask, log_probs, 0.0), axis=-1)
+        nll = jnp.where(valid, -picked, 0.0)
+        ce = jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+        vmask = valid[..., None]
+        probs = jnp.exp(log_probs) * vmask
+        one_hot = (label_mask & vmask).astype(logits.dtype)
+        axes = tuple(range(probs.ndim - 1))
+        smooth = 1.0
+        num = 2.0 * jnp.sum(probs * one_hot, axis=axes) + smooth
+        den = (jnp.sum(probs * probs, axis=axes)
+               + jnp.sum(one_hot, axis=axes) + smooth)
+        dice = jnp.mean(1.0 - num / den)
+        return ce + dice
+
     total = jnp.float32(0.0)
     if "dice" in losses:
         total = total + dice_loss(

@@ -56,7 +56,10 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
                 and cfg.output_size(train) == (recon.height, recon.width))
             if use_s2d:
                 # voxelizer folds straight to space-to-depth bf16 blocks;
-                # the scan never pays the per-window s2d transpose
+                # the scan never pays the per-window s2d transpose.
+                # (time_major=True was measured 373 vs 383 windows/s here —
+                # the scan's strided window gather is cheaper than the
+                # prefix-slice materialization the t-major layout induces.)
                 grids, labels = pipeline.build_all(
                     batch, rng, train=train, layout="s2d",
                     out_dtype=recon.model.dtype)

@@ -204,4 +204,165 @@ void voxelize_temporal_f32(const float* ev, const uint8_t* valid, int64_t n,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Tile binning for the device-side Pallas voxelizer (ops/voxel_pallas.py).
+//
+// Counting sort of each window's valid in-frame events by spatial tile id
+// (ty * n_tiles_x + tx on the kernel-aligned padded grid). Stable (two
+// ordered passes), O(n + n_tiles) per window — replaces the Python
+// per-window argsort loop that was the host-ingest bottleneck. `counts` is
+// caller-provided scratch of n_tiles int64.
+// ---------------------------------------------------------------------------
+
+void tile_bin_f32(const float* ev, const uint8_t* valid, int64_t T, int64_t n,
+                  int64_t height, int64_t width, int64_t tile_h,
+                  int64_t tile_w, int64_t n_tiles_x, int64_t n_tiles,
+                  float* out, uint8_t* out_valid, int32_t* offsets,
+                  int64_t* counts, int32_t* tid_scratch) {
+  const float fw = static_cast<float>(width);
+  const float fh = static_cast<float>(height);
+  // tile coords via float multiply by reciprocal: exact for tile_w=128
+  // (power of two); for tile_h the product is nudged just enough that
+  // floor(y * inv_h) == y_int / tile_h for all in-range integers (y_int <
+  // 2^15, so a 2^-20 relative bump cannot carry floor(y/h) past the next
+  // integer but fixes the representation shortfall at exact multiples).
+  const float inv_w = 1.0f / static_cast<float>(tile_w);
+  const float inv_h = (1.0f + 9.5367431640625e-7f)  // 1 + 2^-20
+                      / static_cast<float>(tile_h);
+  for (int64_t wi = 0; wi < T; ++wi) {
+    const float* src = ev + wi * n * 4;
+    const uint8_t* vmask = valid + wi * n;
+    float* dst = out + wi * n * 4;
+    uint8_t* dvalid = out_valid + wi * n;
+    int32_t* offs = offsets + wi * (n_tiles + 1);
+
+    std::memset(counts, 0, sizeof(int64_t) * n_tiles);
+    int64_t kept = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = src[i * 4 + 0];
+      const float y = src[i * 4 + 1];
+      if (!vmask[i] || x < 0.f || x >= fw || y < 0.f || y >= fh) {
+        tid_scratch[i] = -1;
+        continue;
+      }
+      int32_t tx = static_cast<int32_t>(
+          static_cast<float>(static_cast<int32_t>(x)) * inv_w);
+      if (tx > n_tiles_x - 1) tx = static_cast<int32_t>(n_tiles_x) - 1;
+      const int32_t ty = static_cast<int32_t>(
+          static_cast<float>(static_cast<int32_t>(y)) * inv_h);
+      const int32_t tid = ty * static_cast<int32_t>(n_tiles_x) + tx;
+      tid_scratch[i] = tid;
+      ++counts[tid];
+      ++kept;
+    }
+    int64_t run = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      offs[t] = static_cast<int32_t>(run);
+      const int64_t c = counts[t];
+      counts[t] = run;  // becomes the write cursor
+      run += c;
+    }
+    offs[n_tiles] = static_cast<int32_t>(run);
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t tid = tid_scratch[i];
+      if (tid < 0) continue;
+      const int64_t at = counts[tid]++;
+      std::memcpy(dst + at * 4, src + i * 4, sizeof(float) * 4);
+      dvalid[at] = 1;
+    }
+    if (kept < n) {
+      std::memset(dst + kept * 4, 0, sizeof(float) * (n - kept) * 4);
+      std::memset(dvalid + kept, 0, n - kept);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Fused DSEC ingest: rectify-map lookup + fixed-capacity window pad + tile
+// counting sort, one pass over the raw h5 event columns. Replaces the
+// loader's numpy chain (events_dict_to_xytp -> fancy-index rectify ->
+// pad_windows -> tile bin), each step of which is a full GIL-holding pass —
+// on a single-core host the fused native version is the difference between
+// ingest keeping up with the device step and not.
+//
+// x, y: uint16 sensor coords; t: int64 us; p: uint8 polarity — arrays of
+// length >= max(ends). starts/ends: (T,) window bounds (windows longer
+// than `cap` keep their most recent `cap` events; per-window timestamps
+// re-zeroed so they stay exact in float32). map: (mh, mw, 2) float32
+// rectified (x, y) per integer pixel. Rectified coords landing outside
+// [0, mw) x [0, mh) are dropped (the device scatter would mask them).
+// ---------------------------------------------------------------------------
+
+void ingest_rectify_bin_f32(
+    const uint16_t* x, const uint16_t* y, const int64_t* t, const uint8_t* p,
+    const int64_t* starts, const int64_t* ends, int64_t T, int64_t cap,
+    const float* map, int64_t mh, int64_t mw,
+    int64_t tile_h, int64_t tile_w, int64_t n_tiles_x, int64_t n_tiles,
+    float* out, uint8_t* out_valid, int32_t* offsets,
+    int64_t* counts, float* xy_scratch, int32_t* tid_scratch) {
+  const float fw = static_cast<float>(mw);
+  const float fh = static_cast<float>(mh);
+  const float inv_w = 1.0f / static_cast<float>(tile_w);
+  const float inv_h = (1.0f + 9.5367431640625e-7f)  // see tile_bin_f32
+                      / static_cast<float>(tile_h);
+  for (int64_t wi = 0; wi < T; ++wi) {
+    int64_t s = starts[wi];
+    const int64_t e = ends[wi];
+    if (e - s > cap) s = e - cap;
+    const int64_t n = e > s ? e - s : 0;
+    float* dst = out + wi * cap * 4;
+    uint8_t* dvalid = out_valid + wi * cap;
+    int32_t* offs = offsets + wi * (n_tiles + 1);
+
+    std::memset(counts, 0, sizeof(int64_t) * n_tiles);
+    int64_t kept = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t src = s + i;
+      const float* m = map + (static_cast<int64_t>(y[src]) * mw +
+                              static_cast<int64_t>(x[src])) * 2;
+      const float rx = m[0];
+      const float ry = m[1];
+      if (rx < 0.f || rx >= fw || ry < 0.f || ry >= fh) {
+        tid_scratch[i] = -1;
+        continue;
+      }
+      xy_scratch[i * 2 + 0] = rx;
+      xy_scratch[i * 2 + 1] = ry;
+      int32_t tx = static_cast<int32_t>(
+          static_cast<float>(static_cast<int32_t>(rx)) * inv_w);
+      if (tx > n_tiles_x - 1) tx = static_cast<int32_t>(n_tiles_x) - 1;
+      const int32_t ty = static_cast<int32_t>(
+          static_cast<float>(static_cast<int32_t>(ry)) * inv_h);
+      const int32_t tid = ty * static_cast<int32_t>(n_tiles_x) + tx;
+      tid_scratch[i] = tid;
+      ++counts[tid];
+      ++kept;
+    }
+    int64_t run = 0;
+    for (int64_t ti = 0; ti < n_tiles; ++ti) {
+      offs[ti] = static_cast<int32_t>(run);
+      const int64_t c = counts[ti];
+      counts[ti] = run;
+      run += c;
+    }
+    offs[n_tiles] = static_cast<int32_t>(run);
+    const int64_t t0 = n > 0 ? t[s] : 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t tid = tid_scratch[i];
+      if (tid < 0) continue;
+      const int64_t at = counts[tid]++;
+      float* o = dst + at * 4;
+      o[0] = xy_scratch[i * 2 + 0];
+      o[1] = xy_scratch[i * 2 + 1];
+      o[2] = static_cast<float>(t[s + i] - t0);
+      o[3] = static_cast<float>(p[s + i]);
+      dvalid[at] = 1;
+    }
+    if (kept < cap) {
+      std::memset(dst + kept * 4, 0, sizeof(float) * (cap - kept) * 4);
+      std::memset(dvalid + kept, 0, cap - kept);
+    }
+  }
+}
+
 }  // extern "C"

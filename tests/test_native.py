@@ -102,3 +102,72 @@ def test_host_voxelize_temporal_parity(rng):
                                         ev[i, :, 3], valid[i]),
                 num_bins=bins, height=h, width=w, separate_pol=sep)
             np.testing.assert_allclose(got[i], np.asarray(ref), atol=1e-4)
+
+
+def test_tile_bin_matches_numpy(rng):
+    """Native counting-sort tile binning == the numpy argsort fallback."""
+    import ess_tpu.data.native as native
+    from ess_tpu.ops.voxel_pallas import host_tile_bin
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    T, N, H, W = 3, 2000, 48, 256
+    raw = np.zeros((T, N, 4), np.float32)
+    raw[..., 0] = rng.uniform(-4, W + 4, (T, N))
+    raw[..., 1] = rng.uniform(-4, H + 4, (T, N))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (T, N)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (T, N))
+    valid = rng.random((T, N)) > 0.2
+
+    got = host_tile_bin(raw, valid, height=H, width=W, bins=5)
+    lib = native._lib
+    try:
+        native._lib, native._build_failed = None, True
+        ref = host_tile_bin(raw, valid, height=H, width=W, bins=5)
+    finally:
+        native._lib, native._build_failed = lib, False
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ingest_rectify_bin_matches_chain(rng):
+    """Fused native ingest == rectify -> pad_windows -> host_tile_bin."""
+    import ess_tpu.data.native as native
+    from ess_tpu.data.slicer import pad_windows
+    from ess_tpu.ops.voxel_pallas import host_tile_bin, tile_h_for_bins
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    T, N, H, W = 4, 1500, 48, 256
+    total = T * N
+    ev = {
+        "x": rng.integers(0, W, total).astype(np.uint16),
+        "y": rng.integers(0, H, total).astype(np.uint16),
+        "t": np.cumsum(rng.integers(1, 30, total)).astype(np.int64),
+        "p": rng.integers(0, 2, total).astype(np.uint8),
+    }
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rmap = np.stack([xx + rng.normal(0, 0.4, xx.shape).astype(np.float32),
+                     yy + rng.normal(0, 0.4, yy.shape).astype(np.float32)],
+                    axis=-1)
+    starts = np.arange(T, dtype=np.int64) * N
+    got = native.ingest_rectify_bin(ev, starts, starts + N, N, rmap,
+                                    tile_h=tile_h_for_bins(5))
+    assert got is not None
+
+    # reference chain
+    rect = rmap[ev["y"], ev["x"]]
+    chunks = []
+    for w in range(T):
+        sl = slice(w * N, (w + 1) * N)
+        e = np.stack([rect[sl, 0], rect[sl, 1],
+                      ev["t"][sl].astype(np.float64),
+                      ev["p"][sl].astype(np.float64)], axis=1)
+        chunks.append(e)
+    raw, valid = pad_windows(chunks, N)
+    ref = host_tile_bin(raw, valid, height=H, width=W, bins=5)
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-4)

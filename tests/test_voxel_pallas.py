@@ -121,6 +121,14 @@ def test_pipeline_build_all_s2d(rng):
                                atol=0.03, rtol=0.03)
     np.testing.assert_array_equal(np.asarray(lbl_got), np.asarray(lbl_ref))
 
+    # time-major build (window-major kernel grid): same grids, (T, B) axes
+    got_tm, lbl_tm = pipe.build_all(batch, key, train=True, layout="s2d",
+                                    out_dtype=jnp.float32, time_major=True)
+    np.testing.assert_allclose(np.asarray(got_tm),
+                               np.asarray(jnp.swapaxes(got, 0, 1)),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lbl_tm), np.asarray(lbl_ref))
+
 
 def test_host_tile_bin_offsets_parity(rng):
     """Host-binned events + offsets produce the same grids as device binning."""
