@@ -99,7 +99,7 @@ class ModelConfig:
     e2vid_checkpoint: str = ""  # optional converted E2VID weights (.msgpack/.npz)
     # Head-conv evaluation strategy: 'auto' picks the space-to-depth block
     # conv (ops/conv_s2d.py) where legal — the 5-bin voxel head conv is MXU
-    # -hostile under XLA's direct lowering. 'xla' | 's2d' | 'pallas' force.
+    # -hostile under XLA's direct lowering. 'xla' | 's2d' force.
     head_conv_impl: str = "auto"
     # Numerics
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay float32

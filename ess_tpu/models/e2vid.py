@@ -91,8 +91,6 @@ class RecurrentUNet(nn.Module):
     # XLA's direct conv lowering (~4 TF/s measured on v5e); 'auto' resolves
     # to the space-to-depth block conv (ops/conv_s2d.py: exact same math,
     # contraction 180 / 128 output lanes) when stride 1, k=5 and even H/W.
-    # The round-1 Pallas patch kernel remains available as 'pallas' but
-    # loses end-to-end to its NHWC->channels-major transpose.
     head_conv_impl: str = "auto"
     dtype: Dtype = jnp.float32
 

@@ -61,17 +61,17 @@ class _Im2ColConv(nn.Module):
     MXU-hostile channel counts (the 5-bin voxel-grid head conv, which XLA's
     conv lowering runs at ~4 TF/s on v5e).
 
-    impl='pallas': the patch matrix is built tile-wise in VMEM by the
-    ops.conv_pallas kernel (1.5x over XLA's conv at head shapes; forward
-    -only, fine for the frozen/stop_gradient E2VID paths).
     impl='xla_im2col': plain XLA patches (measured SLOWER end-to-end: the
-    25x-wider patch tensor thrashes HBM); kept for comparison.
+    25x-wider patch tensor thrashes HBM); kept for comparison. (A round-1
+    Pallas patch-conv variant was retired in round 2: the space-to-depth
+    re-expression — 's2d' — wins end-to-end, has gradients, and needs no
+    layout transpose.)
     """
 
     features: int
     kernel_size: int
     use_bias: bool = True
-    impl: str = "pallas"
+    impl: str = "s2d"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,10 +87,6 @@ class _Im2ColConv(nn.Module):
             from ess_tpu.ops.conv_s2d import conv5x5_s2d
             return conv5x5_s2d(x, kernel, bias if self.use_bias else None,
                                dtype=self.dtype)
-
-        if self.impl == "pallas":
-            from ess_tpu.ops.conv_pallas import head_conv_pallas
-            return head_conv_pallas(x, kernel, bias).astype(self.dtype)
 
         pad = k // 2
         xb = jnp.pad(x.astype(self.dtype),
@@ -147,9 +143,9 @@ class ConvLayer(nn.Module):
     strides: int = 1
     activation: Optional[str] = "relu"
     norm: Optional[str] = None  # None | 'BN' | 'IN'
-    # conv_impl: 'xla' (default) | 'pallas' | 'xla_im2col' | 'auto'
-    # ('auto' = pallas patch kernel when on TPU, stride 1 and H % 8 == 0 —
-    # the few-channel head-conv case; otherwise XLA conv)
+    # conv_impl: 'xla' (default) | 's2d' | 'xla_im2col' | 'auto'
+    # ('auto' = space-to-depth block conv for stride-1 5x5 on even H/W —
+    # the MXU-hostile few-channel head-conv case; otherwise XLA conv)
     conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
@@ -173,12 +169,12 @@ class ConvLayer(nn.Module):
             return activation_fn(self.activation)(x)
         pad = self.kernel_size // 2
         impl = self._resolve_impl(x)
-        if (impl in ("pallas", "xla_im2col", "s2d") and self.strides == 1
+        if (impl in ("xla_im2col", "s2d") and self.strides == 1
                 and not (impl == "s2d" and self.kernel_size != 5)):
             x = _Im2ColConv(
                 self.features, self.kernel_size,
                 use_bias=self.norm != "BN",
-                impl={"pallas": "pallas", "s2d": "s2d"}.get(impl, "xla"),
+                impl="s2d" if impl == "s2d" else "xla",
                 dtype=self.dtype, name="Conv_0",
             )(x)
         else:
