@@ -30,6 +30,9 @@ def main(argv=None) -> None:
                         help="fixed window duration in ms")
     parser.add_argument("--num_bins", type=int, default=5)
     parser.add_argument("--no-normalize", dest="normalize", action="store_false")
+    parser.add_argument("--color", action="store_true",
+                        help="DAVIS346color Bayer stream -> color frames "
+                             "(inference_options.py:55-57)")
     args = parser.parse_args(argv)
 
     import jax
@@ -76,6 +79,20 @@ def main(argv=None) -> None:
     def step_fn(params, grid, state):
         return recon.step(params, grid, state)
 
+    if args.color:
+        # four Bayer-phase streams share the grayscale net; each carries its
+        # own recurrent state, batched as ONE forward of 4 per window
+        # (reference runs them sequentially: image_reconstructor.py:102-123)
+        from ess_tpu.recon.color import (
+            BAYER_PHASES, merge_channels_into_color_image, to_uint8)
+        recon_half = Reconstructor(model=model, height=height // 2,
+                                   width=width // 2, normalize=False)
+        color_state = recon_half.init_state(4)
+
+        @jax.jit
+        def color_step_fn(params, grids, state):
+            return recon_half.step(params, grids, state)
+
     os.makedirs(args.output_folder, exist_ok=True)
     try:
         import cv2
@@ -95,7 +112,17 @@ def main(argv=None) -> None:
         frame = np.asarray(img[0, :height, :width, 0])
         frame8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
         out_path = os.path.join(args.output_folder, f"frame_{i:010d}.png")
-        if cv2 is not None:
+        if args.color and cv2 is not None:
+            # slice the normalized grid at the four 2x2 Bayer phases
+            phases = jnp.stack([grid[0, r::2, s::2]
+                                for r, s in BAYER_PHASES.values()])
+            imgs, color_state, _ = color_step_fn(params, phases, color_state)
+            imgs = np.asarray(imgs[:, : height // 2, : width // 2, 0])
+            channels = {ch: to_uint8(imgs[k])
+                        for k, ch in enumerate(BAYER_PHASES)}
+            channels["grayscale"] = frame8
+            cv2.imwrite(out_path, merge_channels_into_color_image(channels))
+        elif cv2 is not None:
             cv2.imwrite(out_path, frame8)
         else:
             frame8.tofile(out_path + ".raw")

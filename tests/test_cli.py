@@ -107,3 +107,29 @@ def test_reconstruct_cli(tmp_path, rng):
     import cv2
     img = cv2.imread(os.path.join(out_dir, frames[0]), 0)
     assert img.shape == (48, 64)
+
+
+def test_reconstruct_cli_color(tmp_path, rng):
+    """--color produces full-resolution 3-channel frames from a Bayer
+    stream (reference --color, inference_options.py:55-57)."""
+    pytest.importorskip("cv2")
+    events_file = str(tmp_path / "events.txt")
+    n = 4000
+    t = np.sort(rng.uniform(0, 1.0, n))
+    x = rng.integers(0, 64, n)
+    y = rng.integers(0, 48, n)
+    p = rng.integers(0, 2, n)
+    with open(events_file, "w") as f:
+        f.write("64 48\n")
+        for i in range(n):
+            f.write(f"{t[i]:.6f} {x[i]} {y[i]} {p[i]}\n")
+
+    out_dir = str(tmp_path / "cframes")
+    from ess_tpu.cli import reconstruct
+    reconstruct.main(["-i", events_file, "-o", out_dir, "-N", "2000",
+                      "--color"])
+    frames = sorted(os.listdir(out_dir))
+    assert len(frames) == 2
+    import cv2
+    img = cv2.imread(os.path.join(out_dir, frames[0]), cv2.IMREAD_UNCHANGED)
+    assert img.shape == (48, 64, 3)

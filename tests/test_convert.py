@@ -191,3 +191,31 @@ def test_e2vid_parity_other_geometries(num_encoders, base):
         np.testing.assert_allclose(
             np.asarray(lat[scale]).transpose(0, 3, 1, 2),
             tlat[scale].numpy(), atol=3e-5, err_msg=f"scale {scale}")
+
+
+def test_color_merge_parity_vs_reference(rng):
+    """Host color-merge pipeline == the reference's merge utilities
+    (inference_utils.py:341-429), bit for bit on random channels."""
+    pytest.importorskip("cv2")
+    from e2vid.utils import inference_utils as ref
+
+    from ess_tpu.recon import color as ours
+
+    h, w = 24, 32
+    channels_ref = {
+        ch: rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for ch in ("R", "G", "W", "B")
+    }
+    channels_ref["grayscale"] = rng.integers(
+        0, 256, (2 * h, 2 * w)).astype(np.uint8)
+    channels_ours = {k: v.copy() for k, v in channels_ref.items()}
+
+    got = ours.merge_channels_into_color_image(channels_ours)
+    want = ref.merge_channels_into_color_image(channels_ref)
+    np.testing.assert_array_equal(got, want)
+
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    for dx, dy in ((1, 1), (1, 0), (0, 1), (-2, 3)):
+        np.testing.assert_array_equal(
+            ours.shift_image(a.copy(), dx, dy),
+            ref.shift_image(a.copy(), dx, dy))
