@@ -28,15 +28,25 @@ def initialize(coordinator_address: Optional[str] = None,
     No-op on single-process setups (cloud TPU runtimes autodetect)."""
     import jax
 
-    if jax.process_count() > 1:
+    # NB: must not touch the backend (jax.process_count/jax.devices) before
+    # the handshake — backend init pins single-process mode. Probe the
+    # distributed client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
-        # single-process / unsupported environment: proceed single-host
+        if explicit:
+            # the caller asked for a specific topology: failing to join it
+            # must not silently degrade to single-host training
+            raise
+        # env autodetection found nothing: proceed single-host
         pass
 
 
