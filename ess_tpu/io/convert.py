@@ -156,3 +156,82 @@ def load_resnet18_torch(
             params[f"layer{layer}_{block}"] = p
             stats[f"layer{layer}_{block}"] = s
     return params, stats
+
+
+def load_style_encoder_torch(
+    source, template_params: Dict[str, Any], template_stats: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Fill a ResNet18Encoder pytree from a reference StyleEncoderE2VID
+    state_dict (models/style_networks.py:110-145 naming:
+    ``encoder_scale_1`` = [stem conv, bn1, relu, layer1],
+    ``encoder_scale_2/3`` = layer2/3). The fresh 1-channel stem conv maps
+    directly (7x7, bias-free)."""
+    if isinstance(source, str):
+        import torch
+        source = torch.load(source, map_location="cpu", weights_only=False)
+    if hasattr(source, "state_dict"):
+        source = source.state_dict()
+    sd = strip_module_prefix(dict(source))
+
+    remap: Dict[str, Any] = {}
+    renames = (
+        ("encoder_scale_1.0.", "conv1."),
+        ("encoder_scale_1.1.", "bn1."),
+        ("encoder_scale_1.3.", "layer1."),
+        ("encoder_scale_2.", "layer2."),
+        ("encoder_scale_3.", "layer3."),
+    )
+    for key, value in sd.items():
+        for old, new in renames:
+            if key.startswith(old):
+                remap[new + key[len(old):]] = value
+                break
+    return load_resnet18_torch(remap, template_params, template_stats,
+                               adapt_stem=True)
+
+
+def load_semseg_head_torch(
+    source, template_params: Dict[str, Any], *, skip_connect: bool = True,
+) -> Dict[str, Any]:
+    """Fill a SegmentationHead param pytree from a reference SemSegE2VID
+    state_dict (models/style_networks.py:9-65). Instance norms carry no
+    parameters; the mapping is purely the conv stack, in both the
+    skip-connect and plain variants."""
+    if isinstance(source, str):
+        import torch
+        source = torch.load(source, map_location="cpu", weights_only=False)
+    if hasattr(source, "state_dict"):
+        source = source.state_dict()
+    sd = strip_module_prefix(dict(source))
+
+    def conv(prefix: str) -> Dict[str, np.ndarray]:
+        out = {"kernel": _conv_kernel(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _t2np(sd[f"{prefix}.bias"])
+        return out
+
+    def resblock(prefix: str) -> Dict[str, Any]:
+        return {"Conv_0": conv(f"{prefix}.model.0"),
+                "Conv_1": conv(f"{prefix}.model.3")}
+
+    params = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in template_params.items()}
+    if skip_connect:
+        for i in range(5):
+            params[f"res_{i}"] = resblock(f"decoder_scale_1.{i}")
+        params["reduce"] = {"Conv_0": conv("decoder_scale_1.5.model.0")}
+        params["s2_a"] = {"Conv_0": conv("decoder_scale_2.0.model.0")}
+        params["s2_b"] = {"Conv_0": conv("decoder_scale_2.1.model.0")}
+        params["s3_a"] = {"Conv_0": conv("decoder_scale_3.0.model.0")}
+        params["s3_b"] = {"Conv_0": conv("decoder_scale_3.1.model.0")}
+        params["s4"] = {"Conv_0": conv("decoder_scale_4.0.model.0")}
+        params["logits"] = conv("decoder_scale_5.0")
+    else:
+        for i in range(3):
+            params[f"res_{i}"] = resblock(f"decoder_scale_1.{i}")
+        # .0 of each scale is the parameterless InterpolationLayer
+        params["s2"] = {"Conv_0": conv("decoder_scale_2.1.model.0")}
+        params["s3"] = {"Conv_0": conv("decoder_scale_3.1.model.0")}
+        params["s4"] = {"Conv_0": conv("decoder_scale_4.1.model.0")}
+        params["logits"] = conv("decoder_scale_5.0")
+    return params

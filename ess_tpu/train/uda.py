@@ -53,6 +53,83 @@ def _cycle_latent_loss(latent_fake, latent_real, *, skip_connect_encoder, weight
     return total
 
 
+def uda_losses(
+    mods: ESSModules, front_params, back_params, batch_stats, *,
+    img_a, labels_a, img_fake, latent_real, labels_b=None,
+):
+    """The combined UDA loss for one batch (the core of the train step).
+
+    ``img_fake``/``latent_real`` are the FROZEN rollout outputs (the caller
+    stop-gradients them). The ``stop_gradient`` placement reproduces the
+    reference's freeze/detach + serialized-backward choreography
+    (ess_trainer.py:103-148, :182-194, :211-330) as one scalar loss — per
+    -parameter gradient parity with the torch reference is verified by
+    tests/test_uda_grad_parity.py. Returns (total, (losses, new_stats)).
+    """
+    cfg = mods.cfg
+    is_dsec = cfg.dataset.sensor_b.name.startswith("DSEC")
+    w = cfg.optim
+
+    def tloss(logits, labels):
+        return task_loss(logits, labels,
+                         num_classes=cfg.task.semseg_num_classes,
+                         ignore_label=cfg.task.semseg_ignore_label,
+                         losses=w.task_loss)
+
+    losses: Dict[str, jax.Array] = {}
+
+    # ---------------- image branch (img_train_step) ----------------
+    latent_a, mut = mods.front_a.apply(
+        {"params": front_params, "batch_stats": batch_stats},
+        img_a, train=True, mutable=["batch_stats"])
+    content_a = jax.tree.map(sg, latent_a) if is_dsec else latent_a
+    pred_a = mods.head.apply({"params": back_params}, content_a)
+    t_img = tloss(pred_a[1], labels_a) * w.weight_task_loss
+    losses["semseg_sensor_a_loss"] = t_img
+
+    # ---------------- event branch ----------------
+    latent_fake, mut2 = mods.front_a.apply(
+        {"params": front_params, "batch_stats": mut["batch_stats"]},
+        img_fake, train=True, mutable=["batch_stats"])
+
+    # e-loss: trains the image encoder only (head frozen,
+    # ess_trainer.py:133-137).
+    back_frozen = jax.tree.map(sg, back_params)
+    e_loss = _cycle_latent_loss(
+        latent_fake, latent_real,
+        skip_connect_encoder=cfg.model.skip_connect_encoder,
+        weight=w.weight_cycle_emb_loss, losses=losses,
+        prefix="sensor_b_to_sensor_a")
+    pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
+    pred_real_ng = jax.tree.map(
+        sg, mods.head.apply({"params": back_frozen}, latent_real))
+    sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
+    losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
+    if is_dsec:  # only DSEC adds the 1x symJS to e-loss (:240-241)
+        e_loss = e_loss + sym_1x
+    for s in (2, 4):
+        l = l1_loss(pred_fake_fr[s], pred_real_ng[s]) * w.weight_cycle_task_loss
+        losses[f"cycle_pred_{s}x_sensor_b_to_sensor_a_loss"] = l
+        e_loss = e_loss + l
+
+    # t-loss: trains the head only (TasktrainCycleStep; latent_real is
+    # stop-gradient so no path to the encoder).
+    pred_real = mods.head.apply({"params": back_params}, latent_real)
+    pred_fake_ng = jax.tree.map(sg, pred_fake_fr)
+    t_ev = symmetric_js_divergence(
+        pred_real[1], pred_fake_ng[1]) * w.weight_cycle_pred_loss
+    for s in (2, 4):
+        t_ev = t_ev + l1_loss(pred_real[s], pred_fake_ng[s]) * w.weight_cycle_task_loss
+    if cfg.model.train_on_event_labels and labels_b is not None:
+        t_b = tloss(pred_real[1], labels_b) * w.weight_task_loss
+        losses["semseg_sensor_b_loss"] = t_b
+        t_ev = t_ev + t_b
+
+    total = t_img + e_loss + t_ev
+    losses["loss"] = total
+    return total, (losses, mut2["batch_stats"])
+
+
 def make_train_step(
     mods: ESSModules, pipeline: Optional[EventPipeline] = None
 ) -> Callable:
@@ -63,15 +140,7 @@ def make_train_step(
     ("ev_x" etc. + EventPipeline), optionally "label_b": (B,h,w).
     """
     cfg = mods.cfg
-    is_dsec = cfg.dataset.sensor_b.name.startswith("DSEC")
-    w = cfg.optim
-    num_classes = cfg.task.semseg_num_classes
-    ignore = cfg.task.semseg_ignore_label
     base_rng = jax.random.PRNGKey(cfg.seed + 1)
-
-    def tloss(logits, labels):
-        return task_loss(logits, labels, num_classes=num_classes,
-                         ignore_label=ignore, losses=w.task_loss)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         img_a, labels_a = batch["image_a"], batch["label_a"]
@@ -92,58 +161,10 @@ def make_train_step(
         latent_real = jax.tree.map(sg, latent_real)
 
         def loss_fn(front_params, back_params, batch_stats):
-            losses: Dict[str, jax.Array] = {}
-
-            # ---------------- image branch (img_train_step) ----------------
-            latent_a, mut = mods.front_a.apply(
-                {"params": front_params, "batch_stats": batch_stats},
-                img_a, train=True, mutable=["batch_stats"])
-            content_a = jax.tree.map(sg, latent_a) if is_dsec else latent_a
-            pred_a = mods.head.apply({"params": back_params}, content_a)
-            t_img = tloss(pred_a[1], labels_a) * w.weight_task_loss
-            losses["semseg_sensor_a_loss"] = t_img
-
-            # ---------------- event branch ----------------
-            latent_fake, mut2 = mods.front_a.apply(
-                {"params": front_params, "batch_stats": mut["batch_stats"]},
-                img_fake, train=True, mutable=["batch_stats"])
-
-            # e-loss: trains the image encoder only (head frozen,
-            # ess_trainer.py:133-137).
-            back_frozen = jax.tree.map(sg, back_params)
-            e_loss = _cycle_latent_loss(
-                latent_fake, latent_real,
-                skip_connect_encoder=cfg.model.skip_connect_encoder,
-                weight=w.weight_cycle_emb_loss, losses=losses,
-                prefix="sensor_b_to_sensor_a")
-            pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
-            pred_real_ng = jax.tree.map(
-                sg, mods.head.apply({"params": back_frozen}, latent_real))
-            sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
-            losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
-            if is_dsec:  # only DSEC adds the 1x symJS to e-loss (:240-241)
-                e_loss = e_loss + sym_1x
-            for s in (2, 4):
-                l = l1_loss(pred_fake_fr[s], pred_real_ng[s]) * w.weight_cycle_task_loss
-                losses[f"cycle_pred_{s}x_sensor_b_to_sensor_a_loss"] = l
-                e_loss = e_loss + l
-
-            # t-loss: trains the head only (TasktrainCycleStep; latent_real is
-            # stop-gradient so no path to the encoder).
-            pred_real = mods.head.apply({"params": back_params}, latent_real)
-            pred_fake_ng = jax.tree.map(sg, pred_fake_fr)
-            t_ev = symmetric_js_divergence(
-                pred_real[1], pred_fake_ng[1]) * w.weight_cycle_pred_loss
-            for s in (2, 4):
-                t_ev = t_ev + l1_loss(pred_real[s], pred_fake_ng[s]) * w.weight_cycle_task_loss
-            if cfg.model.train_on_event_labels and labels_b is not None:
-                t_b = tloss(pred_real[1], labels_b) * w.weight_task_loss
-                losses["semseg_sensor_b_loss"] = t_b
-                t_ev = t_ev + t_b
-
-            total = t_img + e_loss + t_ev
-            losses["loss"] = total
-            return total, (losses, mut2["batch_stats"])
+            return uda_losses(
+                mods, front_params, back_params, batch_stats,
+                img_a=img_a, labels_a=labels_a, img_fake=img_fake,
+                latent_real=latent_real, labels_b=labels_b)
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
