@@ -167,6 +167,10 @@ class Config:
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     hardware: HardwareConfig = field(default_factory=HardwareConfig)
     log_dir: str = "runs"
+    # experiment-tracking mirror: 'none' | 'wandb' (train.py:35-51 syncs TB
+    # to the author's hard-coded W&B entity; here it's configurable and
+    # degrades gracefully when the package is absent)
+    tracker: str = "none"
     seed: int = 6  # reference train.py:17-25 pins seed 6
 
     # ------------------------------------------------------------------
@@ -316,5 +320,6 @@ def load_config(path_or_dict: str | dict) -> Config:
         checkpoint=ckpt,
         hardware=hw,
         log_dir=str(_get(raw.get("dir", {}), "log", "runs")),
+        tracker=str(_get(raw, "tracker", "none")),
         seed=int(_get(raw, "seed", 6)),
     )

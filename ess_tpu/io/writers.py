@@ -3,9 +3,12 @@
 Capability parity with the reference's tensorboardX SummaryWriter + W&B
 mirror (base_trainer.py:34, train.py:35-51): scalar curves (50-step-averaged
 train losses, base_trainer.py:525-541), image grids, and confusion-matrix
-figures. W&B is not vendored in this environment; the equivalent durable
-record is a JSONL event stream any dashboard can tail (and the writer API
-accepts a wandb-style ``config`` dict for provenance).
+figures. The tracking-service mirror is a pluggable
+``tracker`` hook: 'wandb' mirrors scalars/images to a W&B run when the
+package is importable (the reference hard-codes the author's entity,
+train.py:35-51; here it is configurable and degrades gracefully), any
+callable receives ``(kind, tag, value, step)`` events, and the always-on
+durable record is a JSONL stream any dashboard can tail.
 """
 
 from __future__ import annotations
@@ -23,9 +26,23 @@ class MetricsWriter:
     """TensorBoard (if available) + JSONL scalar/image writer."""
 
     def __init__(self, log_dir: str, *, config: Optional[dict] = None,
-                 flush_every: int = 50):
+                 flush_every: int = 50, tracker=None,
+                 tracker_project: str = "ess-tpu"):
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
+        self._tracker = None
+        self._wandb = None
+        if tracker == "wandb":
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=tracker_project, dir=log_dir,
+                    config=config or {}, mode=os.environ.get(
+                        "WANDB_MODE", "offline"))
+            except Exception:
+                pass
+        elif callable(tracker):
+            self._tracker = tracker
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
         try:
@@ -45,6 +62,10 @@ class MetricsWriter:
             {"t": time.time(), "step": step, tag: v}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(tag, v, step)
+        if self._wandb is not None:
+            self._wandb.log({tag: v}, step=step)
+        if self._tracker is not None:
+            self._tracker("scalar", tag, v, step)
 
     def scalars(self, values: Dict[str, float], step: int, prefix: str = "") -> None:
         for k, v in values.items():
@@ -67,6 +88,9 @@ class MetricsWriter:
                 arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
             self._tb.add_image(tag, arr, step, dataformats="HWC")
 
+        if self._tracker is not None:
+            self._tracker("image", tag, img_hwc, step)
+
     def figure(self, tag: str, fig, step: int) -> None:
         """Log a matplotlib figure (confusion matrices)."""
         if self._tb is not None and fig is not None:
@@ -82,3 +106,5 @@ class MetricsWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

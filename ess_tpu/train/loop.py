@@ -106,7 +106,9 @@ class Trainer:
 
         self.log_dir = log_dir or os.path.join(
             cfg.log_dir, time.strftime("%Y%m%d-%H%M%S"))
-        self.writer = MetricsWriter(self.log_dir, config={"cfg": cfg})
+        self.writer = MetricsWriter(
+            self.log_dir, config={"cfg": cfg},
+            tracker=cfg.tracker if cfg.tracker != "none" else None)
         from ess_tpu.utils.viz import count_params
         counts = {"back_end": count_params(self.state.back_params),
                   "front_sensor_b(e2vid,frozen)": count_params(self.state.e2vid_params)}

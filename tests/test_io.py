@@ -87,3 +87,18 @@ def test_reconstruct_cli_with_converted_checkpoint(tmp_path, rng):
     reconstruct.main(["-c", ckpt_path, "-i", events_file, "-o", out_dir,
                       "-N", "1000"])
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_metrics_writer_tracker_hook(tmp_path):
+    """Pluggable tracking-service mirror (the reference's W&B sync,
+    train.py:35-51, as a configurable hook)."""
+    from ess_tpu.io.writers import MetricsWriter
+
+    events = []
+    w = MetricsWriter(str(tmp_path), tracker=lambda *ev: events.append(ev))
+    w.scalar("loss", 1.5, 3)
+    w.image("img", np.zeros((4, 4, 3), np.float32), 3)
+    w.close()
+    kinds = [e[0] for e in events]
+    assert ("scalar", "loss", 1.5, 3) in events
+    assert "image" in kinds
