@@ -11,16 +11,24 @@ This kernel reformulates the scatter as dense MXU work:
    per bin count so the accumulator's row axis fills one 128-row MXU tile);
    binning is one fast ``lax.sort`` on-device (~6 ms for 800k events) or
    free on the host during ingest.
-2. One Pallas program per (sample, supertile of K tiles) streams its event
-   blocks HBM->VMEM with double-buffered DMA (all four event fields in one
-   stacked copy).
-3. The 8 trilinear corners factor separably: corner rows (t-bin, y) with
-   weight pol*wt*wy, corner cols x with weight wx. Each event block builds a
-   row tent-plane R (E, bins*(tile_h+1)) and a col tent-plane C
-   (E, K*(128+8)) on the VPU and accumulates R^T @ C on the MXU (bf16
-   operands, f32 accumulation) — 8 serial updates/event become fused MACs at
-   matmul speed.
-4. Tiles carry a +1 halo row/col (corners crossing a tile edge); a cheap
+2. Every per-event scalar (tile-slot column position, row position, the two
+   time-bin scales) is precomputed in ONE fused XLA pass over the flat
+   event buffers — in-kernel scalar chains cost lane<->sublane relayouts
+   per block that measured ~45 ms/step before this split.
+3. One Pallas program per (sample, supertile of K tiles) streams its event
+   blocks HBM->VMEM with 4-deep DMA buffering (all four derived fields in
+   one contiguous copy).
+4. The 8 trilinear corners factor separably: corner rows (t-bin, y) with
+   weight pol*wt*wy, corner cols x with weight wx. Each event block builds
+   TRANSPOSED tent planes — rows R^T (bins*(tile_h+1), E) and cols C^T
+   (K*(128+8), E), events on lanes so the scalar broadcasts are pure
+   sublane splats — and accumulates the NT matmul R^T @ C on the MXU (bf16
+   operands, f32 accumulation): 8 serial updates/event become fused MACs
+   at matmul speed. Events outside a program's supertile (shared border
+   blocks, padding) have a column position outside its slot range or zero
+   scales, so their tent column or row is identically zero and they
+   contribute nothing — no masking needed in the kernel.
+5. Tiles carry a +1 halo row/col (corners crossing a tile edge); a cheap
    dense XLA pass folds halos into neighbouring tiles afterwards (optionally
    emitting the space-to-depth block layout the E2VID model consumes).
 """
@@ -36,9 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_W = 128
-CHUNK = 512       # events per DMA block (sweep-tuned on v5e; the kernel is
-                  # VPU-bound on tent-plane construction, so smaller blocks
-                  # trade less partial-block waste for more DMA issues)
+CHUNK = 1024      # events per DMA block (sweep-tuned on v5e; 512-2048 are
+                  # within noise of each other now that the kernel is pure
+                  # plane-construction + MXU work)
 K_TILES = 5       # max spatial tiles per program (sweep-tuned on v5e)
 COL_SLOT = TILE_W + 8   # per-tile column slot in the accumulator (128+halo+pad)
 
@@ -140,15 +148,13 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int,
 
 
 N_BUF = 4         # DMA buffer depth (prefetch distance N_BUF - 1 hides the
-                  # per-block DMA latency behind ~2-3 us of VPU work)
+                  # per-block DMA latency behind the plane construction)
 
 
 def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
-            bins: int, tile_h: int, width: int, k_tiles: int,
-            chunk: int, oh_dtype):
+            bins: int, tile_h: int, k_tiles: int, chunk: int, oh_dtype):
     b = pl.program_id(0)
     sup = pl.program_id(1)
-    n_tiles_x = width // TILE_W
     tid0 = sup * k_tiles
 
     start = offs_ref[b, tid0]
@@ -159,23 +165,26 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     cols = k_tiles * COL_SLOT
     acc0 = jnp.zeros((rows, cols), jnp.float32)
 
-    # float iotas hoisted out of the block loop (an in-loop i32->f32 convert
-    # of the wide plane costs a full extra VPU pass per block; Mosaic's
-    # tpu.iota is integer-only, so convert once here)
+    # Planes are built TRANSPOSED (events on lanes): the per-event fields
+    # arrive lane-major from the DMA and broadcast down sublanes with no
+    # relayout. Float iotas hoisted out of the block loop (Mosaic's
+    # tpu.iota is integer-only; an in-loop convert costs a VPU pass). The
+    # col iota carries the supertile's global slot base: foreign events'
+    # cx falls outside [tid0*COL_SLOT, tid0*COL_SLOT + cols) so their tent
+    # column is identically zero — no in-range masking anywhere.
+    col_iota_s = (jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
+                  + tid0 * COL_SLOT).astype(jnp.float32)
     row_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (chunk, rows), 1).astype(jnp.float32)
-    col_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (chunk, cols), 1).astype(jnp.float32)
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+        jnp.int32, (rows, chunk), 0).astype(jnp.float32)
 
     first_blk = start // chunk
     last_blk = jnp.maximum(end - 1, start) // chunk
     nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
 
     def dma(blk_i, slot):
-        # one contiguous (4, chunk) block: fields interleaved at chunk
-        # granularity on the device side (voxelize_tiled), so each block is
-        # a single 16*chunk-byte linear DMA instead of four strided rows
+        # one contiguous (4, chunk) block: derived fields interleaved at
+        # chunk granularity on the device side (voxelize_tiled), so each
+        # block is a single 16*chunk-byte linear DMA
         return pltpu.make_async_copy(
             ev_ref.at[b, first_blk + blk_i], buf.at[slot], sems.at[slot])
 
@@ -193,52 +202,26 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
 
         dma(ci, slot).wait()
 
-        ex = buf[slot, 0]
-        ey = buf[slot, 1]
-        ts = buf[slot, 2]
-        pol = buf[slot, 3]
-
-        gpos = (first_blk + ci) * chunk + pos_iota
-        in_range = (gpos >= start) & (gpos < end)
-
-        xi = jnp.floor(ex).astype(jnp.int32)
-        yi = jnp.floor(ey).astype(jnp.int32)
-        tx = jnp.clip(xi // TILE_W, 0, n_tiles_x - 1)
-        ty = yi // tile_h
-        tid = ty * n_tiles_x + tx
-        slot_idx = tid - tid0          # 0..k_tiles-1 for in-range events
-
-        xl = ex - (tx * TILE_W).astype(jnp.float32)
-        yl = ey - (ty * tile_h).astype(jnp.float32)
-        c0 = jnp.floor(ts).astype(jnp.int32)
-        wt1 = ts - c0.astype(jnp.float32)
+        cx = buf[slot, 0][None, :]   # global slot-column position (frac=wx)
+        p0 = buf[slot, 1][None, :]   # row position in bin c0 (frac=wy)
+        s0 = buf[slot, 2][None, :]   # pol * (1 - wt)
+        s1 = buf[slot, 3][None, :]   # pol * wt
 
         # Both planes are tents: weight at position q is
         # max(0, 1 - |q - p|) for the two neighbouring integer positions —
-        # exactly the bilinear split, in one arithmetic pass per plane.
-        # (Building the planes natively in bf16 was measured neutral on v5e
-        # — the VPU does not run 2-per-lane here — so they stay f32 and cast
-        # at the matmul.)
-        # Col plane: position = tile slot base + local x (fraction = wx).
-        xpos = (slot_idx * COL_SLOT).astype(jnp.float32) + xl
-        ohc = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_f - xpos[:, None]))
-
-        # Row plane: within time-bin block cc the position is
-        # cc*(tile_h+1) + local y (fraction = wy); the tent never crosses
-        # into block cc+1 because local y < tile_h and each block spans
-        # tile_h+1 rows (the halo row). Two tents, one per time bin; a
-        # bin falling outside [0, bins) lands in the padded row range
-        # (>= bins*(tile_h+1)) which the halo fold slices away.
-        base = jnp.where(in_range, pol, 0.0)
-        ohr = jnp.zeros((chunk, rows), jnp.float32)
-        for dc, wt in ((0, 1.0 - wt1), (1, wt1)):
-            p = ((c0 + dc) * (tile_h + 1)).astype(jnp.float32) + yl
-            tent = jnp.maximum(0.0, 1.0 - jnp.abs(row_iota_f - p[:, None]))
-            ohr = ohr + (base * wt)[:, None] * tent
+        # exactly the bilinear split. The second time bin's row block
+        # starts exactly tile_h+1 rows below the first, so one subtraction
+        # feeds both row tents. A bin falling outside [0, bins) lands in
+        # the padded row range (>= bins*(tile_h+1)), which the halo fold
+        # slices away (its scale is zero anyway).
+        ohc_t = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_s - cx))
+        d0 = row_iota_f - p0
+        ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
+                 + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - (tile_h + 1))))
 
         return acc + jax.lax.dot_general(
-            ohr.astype(oh_dtype), ohc.astype(oh_dtype),
-            (((0,), (0,)), ((), ())),
+            ohr_t.astype(oh_dtype), ohc_t.astype(oh_dtype),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, nblocks, chunk_body, acc0)
@@ -282,17 +265,38 @@ def voxelize_tiled(
     n_pad = ((n + chunk - 1) // chunk) * chunk
     nb = n_pad // chunk
 
+    # One fused XLA pass computes every per-event derived quantity the
+    # kernel needs (scalar chains inside the kernel cost lane<->sublane
+    # relayouts per block — measured ~45 ms/step at DSEC scale):
+    #   cx = global slot-column position (tile id * COL_SLOT + local x)
+    #   p0 = row position in time-bin c0 (c0 * (tile_h+1) + local y)
+    #   s0, s1 = the two time-bin scales pol*(1-wt), pol*wt
+    # Invalid events carry pol == 0 and chunk padding is all-zero — both
+    # make s0 = s1 = 0, i.e. a zero row tent: no contribution.
+    n_tiles_x = width // TILE_W
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    ts = ts.astype(jnp.float32)
+    tx = jnp.clip(jnp.floor(x).astype(jnp.int32) // TILE_W, 0, n_tiles_x - 1)
+    ty = jnp.floor(y).astype(jnp.int32) // tile_h
+    tid = ty * n_tiles_x + tx
+    c0 = jnp.floor(ts)
+    wt1 = ts - c0
+    cx = tid.astype(jnp.float32) * COL_SLOT + (x - (tx * TILE_W).astype(jnp.float32))
+    p0 = c0 * (tile_h + 1) + (y - (ty * tile_h).astype(jnp.float32))
+    s0 = pol.astype(jnp.float32) * (1.0 - wt1)
+    s1 = pol.astype(jnp.float32) * wt1
+
     # (B, n_blocks, 4, chunk): fields interleaved per block so each kernel
     # DMA is one contiguous 16*chunk-byte copy
     ev = jnp.stack([
-        jnp.pad(a.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
-        .reshape(b, nb, chunk)
-        for a in (x, y, ts, pol)
+        jnp.pad(a, ((0, 0), (0, n_pad - n))).reshape(b, nb, chunk)
+        for a in (cx, p0, s0, s1)
     ], axis=2)
 
     grid = (b, n_tiles // k)
     out = pl.pallas_call(
-        functools.partial(_kernel, bins=bins, tile_h=tile_h, width=width,
+        functools.partial(_kernel, bins=bins, tile_h=tile_h,
                           k_tiles=k, chunk=chunk, oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
