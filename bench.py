@@ -107,11 +107,15 @@ def main() -> None:
     state, out = step(state, batch)
     float(out["loss"])
 
-    iters = 5
+    # Steps chain through the donated TrainState, so dispatching the whole
+    # run and fetching ONE final scalar measures the true sustained step
+    # rate — fetching the loss every iteration would add a host round-trip
+    # (~30-60 ms through this tunnel) that production training never pays.
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = step(state, batch)
-        float(out["loss"])
+    float(out["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     windows_per_sec = BATCH * WINDOWS / dt

@@ -35,7 +35,8 @@ def build_loaders(cfg, for_train=True):
                                semseg_num_classes=cfg.task.semseg_num_classes,
                                tile_bins=effective_bins(
                                    ds_b.nr_temporal_bins, ds_b.separate_pol,
-                                   True))
+                                   True),
+                               wire_format=ds_b.wire_format)
         val_set = DSECEvents(ds_b.dataset_path, mode="val",
                              nr_events_data=ds_b.nr_events_data,
                              nr_events_window=ds_b.nr_events_window,
@@ -44,7 +45,8 @@ def build_loaders(cfg, for_train=True):
                              semseg_num_classes=cfg.task.semseg_num_classes,
                              tile_bins=effective_bins(
                                  ds_b.nr_temporal_bins, ds_b.separate_pol,
-                                 True))
+                                 True),
+                             wire_format=ds_b.wire_format)
     elif ds_b.name.startswith("DDD17"):
         from ess_tpu.data.ddd17 import DDD17Events
         train_set = DDD17Events(ds_b.dataset_path, split=ds_b.split_train,

@@ -69,6 +69,10 @@ class EventDatasetConfig:
     require_paired_data_val: bool = True
     semseg_label_train: bool = True
     semseg_label_val: bool = True
+    # host->device wire format: 'f32' raw SoA windows, or 'packed' (u16
+    # quantized coords in 1/64 px + per-window-normalized u16 time + u8
+    # polarity — 7 bytes/event instead of 17; DSEC fixed-count path only)
+    wire_format: str = "f32"
 
     @property
     def input_channels(self) -> int:
@@ -222,6 +226,7 @@ def _parse_event_dataset(name: str, spec: dict) -> EventDatasetConfig:
         require_paired_data_val=bool(_get(spec, "require_paired_data_val", True)),
         semseg_label_train=semseg_label_train,
         semseg_label_val=True,
+        wire_format=str(_get(spec, "wire_format", "f32")),
     )
 
 

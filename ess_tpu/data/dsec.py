@@ -55,6 +55,7 @@ class DSECSequence:
         remove_time_window: int = 250,
         tile_bin: bool = True,
         tile_bins: int = 5,
+        wire_format: str = "f32",   # 'f32' | 'packed' (u16 quantized SoA)
     ):
         self.seq_path = seq_path
         self.mode = mode
@@ -63,6 +64,7 @@ class DSECSequence:
         self.fixed_duration = fixed_duration
         self.tile_bin = tile_bin
         self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
+        self.wire_format = wire_format
         self.delta_t_us = nr_events_data * delta_t_per_data * 1000
 
         ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
@@ -117,6 +119,11 @@ class DSECSequence:
         else:
             ev = self.slicer.get_events_fixed_num(
                 ts_end, t_dim * self.nr_events_window)
+            if self.tile_bin and self.wire_format == "packed":
+                got = self._fused_ingest(ev, t_dim, packed=True)
+                if got is not None:
+                    got["label"] = label
+                    return got
             if self.tile_bin:
                 got = self._fused_ingest(ev, t_dim)
                 if got is not None:
@@ -138,10 +145,11 @@ class DSECSequence:
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         return out
 
-    def _fused_ingest(self, ev, t_dim: int):
+    def _fused_ingest(self, ev, t_dim: int, *, packed: bool = False):
         """Native one-pass rectify + pad + tile-bin of raw h5 columns
         (native/ess_host.cpp ingest_rectify_bin_f32). ~4x the numpy chain
-        on a single core — the loader-side hot path."""
+        on a single core — the loader-side hot path. ``packed=True`` emits
+        the quantized u16 wire format (7 bytes/event host->device)."""
         from ess_tpu.data import native
         from ess_tpu.ops.voxel_pallas import tile_h_for_bins
 
@@ -149,9 +157,10 @@ class DSECSequence:
         per = n_total // t_dim
         starts = np.arange(t_dim, dtype=np.int64) * per
         ends = starts + per
-        return native.ingest_rectify_bin(
-            ev, starts, ends, self.nr_events_window, self.rectify_map,
-            tile_h=tile_h_for_bins(self.tile_bins))
+        fn = (native.ingest_rectify_bin_packed if packed
+              else native.ingest_rectify_bin)
+        return fn(ev, starts, ends, self.nr_events_window, self.rectify_map,
+                  tile_h=tile_h_for_bins(self.tile_bins))
 
 
 class DSECEvents:
@@ -217,6 +226,18 @@ class SequenceRecurrent:
         # every streamed window is rectified exactly like the random-access
         # path (reference sequence_recurrent.py:239)
         out = {"is_first": np.bool_(i == 0)}
+        if self.seq.tile_bin and self.seq.wire_format == "packed":
+            pk = self.seq._fused_ingest(ev, 1, packed=True)
+            if pk is not None:
+                out.update(pk)
+                li = self.label_idx.get(i)
+                if li is not None:
+                    out["label"] = cv2.imread(
+                        self.seq.label_files[li], 0).astype(np.uint8)
+                    out["has_label"] = np.bool_(True)
+                else:
+                    out["has_label"] = np.bool_(False)
+                return out
         got = self.seq._fused_ingest(ev, 1) if self.seq.tile_bin else None
         if got is not None:
             raw, valid, offsets = got

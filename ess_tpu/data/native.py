@@ -62,6 +62,10 @@ def _build() -> Optional[ctypes.CDLL]:
         u16p, u16p, i64p, u8p, i64p, i64p, c_i64, c_i64,
         f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
         f32p, u8p, i32p, i64p, f32p, i32p]
+    cdll.ingest_rectify_bin_packed.argtypes = [
+        u16p, u16p, i64p, u8p, i64p, i64p, c_i64, c_i64,
+        f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
+        u16p, u16p, u16p, u8p, i32p, i64p, i32p, i32p]
     return cdll
 
 
@@ -195,6 +199,53 @@ def ingest_rectify_bin(
         t_dim, capacity, rmap, mh, mw, tile_h, tile_w, ntx, n_tiles,
         out, out_valid, offsets, counts, xy_scratch, tid_scratch)
     return out, out_valid.astype(bool), offsets
+
+
+COORD_SCALE = 64        # packed wire format: coords in 1/64-pixel steps
+TIME_SCALE = 60000      # per-window time normalized to [0, 1] / 60000
+
+
+def ingest_rectify_bin_packed(
+    ev: dict, starts: np.ndarray, ends: np.ndarray, capacity: int,
+    rectify_map: np.ndarray, *, tile_h: int, tile_w: int = 128,
+) -> Optional[dict]:
+    """Packed-wire variant of :func:`ingest_rectify_bin`: quantized SoA
+    columns (x, y in 1/64 px u16; per-window-normalized t in u16; p u8) —
+    7 bytes/event on the host->device wire instead of 17 (validity derives
+    from the tile offsets). Tile ids are computed from the QUANTIZED
+    coordinates so binning and the device kernel agree exactly. Returns
+    {"ev_xq","ev_yq","ev_tq","ev_pq": (T, cap), "tile_offsets"} or None
+    without the native library.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    mh, mw = rectify_map.shape[:2]
+    hp = -(-mh // tile_h) * tile_h
+    wp = -(-mw // tile_w) * tile_w
+    ntx = wp // tile_w
+    n_tiles = (hp // tile_h) * ntx
+    t_dim = len(starts)
+    out_x = np.empty((t_dim, capacity), np.uint16)
+    out_y = np.empty((t_dim, capacity), np.uint16)
+    out_t = np.empty((t_dim, capacity), np.uint16)
+    out_p = np.empty((t_dim, capacity), np.uint8)
+    offsets = np.empty((t_dim, n_tiles + 1), np.int32)
+    counts = np.empty(n_tiles, np.int64)
+    q_scratch = np.empty((capacity, 2), np.int32)
+    tid_scratch = np.empty(capacity, np.int32)
+    lib.ingest_rectify_bin_packed(
+        np.ascontiguousarray(ev["x"], np.uint16),
+        np.ascontiguousarray(ev["y"], np.uint16),
+        np.ascontiguousarray(ev["t"], np.int64),
+        np.ascontiguousarray(ev["p"], np.uint8),
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        t_dim, capacity, np.ascontiguousarray(rectify_map, np.float32),
+        mh, mw, tile_h, tile_w, ntx, n_tiles,
+        out_x, out_y, out_t, out_p, offsets, counts, q_scratch, tid_scratch)
+    return {"ev_xq": out_x, "ev_yq": out_y, "ev_tq": out_t, "ev_pq": out_p,
+            "tile_offsets": offsets}
 
 
 def pad_windows_from_bounds(

@@ -86,7 +86,14 @@ def to_soa(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
     {"raw_events": (B,T,N,4), "valid": (B,T,N)} ->
     {"ev_x","ev_y","ev_t","ev_p": (B,T,N) f32, "ev_valid": (B,T,N) bool}.
+    Packed-wire batches (ev_xq/... u16 columns from the native ingest) are
+    already SoA and pass through untouched.
     """
+    if "ev_xq" in batch:
+        out = dict(batch)
+        if "tile_offsets" in out:
+            out["ev_tile_offsets"] = out.pop("tile_offsets")
+        return out
     out = {k: v for k, v in batch.items() if k not in ("raw_events", "valid")}
     raw = batch["raw_events"]
     out["ev_x"] = np.ascontiguousarray(raw[..., 0])
@@ -142,6 +149,36 @@ class EventPipeline:
                 crop_y = jax.random.randint(ky, (batch_size,), 0, h - ch + 1)
             crop_x = jax.random.randint(kx, (batch_size,), 0, w - cw + 1)
         return AugmentParams(flip=flip, crop_y=crop_y, crop_x=crop_x)
+
+    # -------------------- packed wire format --------------------
+
+    def decode_packed(self, batch: dict) -> dict:
+        """Dequantize a packed-wire batch (native.ingest_rectify_bin_packed:
+        1/64-px u16 coords, per-window-normalized u16 time, u8 polarity,
+        validity implied by the tile offsets) into the standard ev_* form.
+
+        Runs on device inside the jit — one fused elementwise pass over the
+        small u16 buffers. The time column arrives ALREADY normalized to
+        [0, bins-1] (scaled), so the voxelizer skips its per-window min/max
+        (``ev_t_prenormalized`` marker).
+        """
+        from ess_tpu.data.native import COORD_SCALE, TIME_SCALE
+
+        cfg = self.cfg
+        xq = batch["ev_xq"]
+        n = xq.shape[-1]
+        offs = batch["ev_tile_offsets"]
+        out = {k: v for k, v in batch.items()
+               if k not in ("ev_xq", "ev_yq", "ev_tq", "ev_pq")}
+        out["ev_x"] = xq.astype(jnp.float32) * (1.0 / COORD_SCALE)
+        out["ev_y"] = batch["ev_yq"].astype(jnp.float32) * (1.0 / COORD_SCALE)
+        out["ev_t"] = batch["ev_tq"].astype(jnp.float32) * (
+            (cfg.num_bins - 1) / TIME_SCALE)
+        out["ev_p"] = batch["ev_pq"].astype(jnp.float32)
+        count = offs[..., -1]            # valid events per window
+        out["ev_valid"] = jnp.arange(n, dtype=jnp.int32) < count[..., None]
+        out["ev_t_prenormalized"] = True
+        return out
 
     # -------------------- space-to-depth fast path --------------------
 
@@ -204,7 +241,7 @@ class EventPipeline:
         return grids
 
     def make_window_fn(
-        self, aug: AugmentParams
+        self, aug: AugmentParams, *, t_prenormalized: bool = False
     ) -> Callable[..., jax.Array]:
         """fn(x, y, t, p, valid, tile_offsets=None) each (B, N)
         -> (B, H_out, W_out, C)."""
@@ -223,6 +260,7 @@ class EventPipeline:
                 tile_offsets=tile_offsets,
                 use_pallas=cfg.use_pallas,
                 pallas_interpret=cfg.pallas_interpret,
+                t_prenormalized=t_prenormalized,
             )
             return self._transform_grid(grids, aug)
 
@@ -270,6 +308,9 @@ class EventPipeline:
         DSEC scale). Labels are unaffected.
         """
         cfg = self.cfg
+        if "ev_xq" in batch:
+            batch = self.decode_packed(batch)
+        t_prenorm = bool(batch.get("ev_t_prenormalized", False))
         b, t_dim, n = batch["ev_x"].shape
         if time_major:
             # flatten the (small) event buffers window-major so the kernel
@@ -299,6 +340,7 @@ class EventPipeline:
             pallas_interpret=cfg.pallas_interpret,
             layout=layout,
             out_dtype=out_dtype if layout == "s2d" else jnp.float32,
+            t_prenormalized=t_prenorm,
         )
         aug = self.sample_augment(rng, b, train=train)
         if time_major:

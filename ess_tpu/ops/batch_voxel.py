@@ -89,6 +89,7 @@ def _voxelize_pallas(
     x, y, t, p, valid, *, num_bins, height, width, separate_pol, trilinear,
     tile_offsets=None, interpret: bool = False, layout: str = "nhwc",
     oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
+    t_prenormalized: bool = False,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -107,7 +108,8 @@ def _voxelize_pallas(
         bin_events_device, tile_h_for_bins, voxelize_tiled)
 
     ok = valid & (x >= 0) & (x < width) & (y >= 0) & (y < height)
-    ts = _masked_time_norm(t.astype(jnp.float32), valid, num_bins)
+    ts = (t.astype(jnp.float32) if t_prenormalized
+          else _masked_time_norm(t.astype(jnp.float32), valid, num_bins))
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
 
     if not trilinear:
@@ -166,6 +168,7 @@ def voxelize_window_soa(
     layout: str = "nhwc",
     oh_dtype=jnp.bfloat16,
     out_dtype=jnp.float32,
+    t_prenormalized: bool = False,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -199,8 +202,8 @@ def voxelize_window_soa(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
             tile_offsets=tile_offsets, interpret=pallas_interpret,
-            layout=layout, oh_dtype=oh_dtype,
-            out_dtype=out_dtype)  # NHWC or s2d blocks
+            layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
+            t_prenormalized=t_prenormalized)  # NHWC or s2d blocks
         if normalize:
             flat = grid.reshape(grid.shape[0], 1, -1)
             grid = _normalize_flat(flat).reshape(grid.shape)
@@ -257,7 +260,8 @@ def voxelize_window_soa(
         grid = flat.reshape(b, num_ch, cells)
         return jnp.moveaxis(grid.reshape(b, num_ch, height, width), 1, -1)
 
-    ts = _masked_time_norm(t.astype(jnp.float32), valid, num_bins)
+    ts = (t.astype(jnp.float32) if t_prenormalized
+          else _masked_time_norm(t.astype(jnp.float32), valid, num_bins))
     x0 = x.astype(jnp.int32)
     y0 = y.astype(jnp.int32)
     t0 = ts.astype(jnp.int32)

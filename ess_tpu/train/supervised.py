@@ -43,8 +43,10 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
     (B, T, H, W, C) stack never materializes (HBM-lean).
     """
     labels = batch.get("label")
-    if "ev_x" in batch:
+    if "ev_x" in batch or "ev_xq" in batch:
         assert pipeline is not None, "SoA batch requires an EventPipeline"
+        if "ev_xq" in batch and not precompute:
+            batch = pipeline.decode_packed(batch)
         if precompute:
             g = recon.geometry
             cfg = pipeline.cfg
@@ -71,7 +73,9 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
         else:
             b = batch["ev_x"].shape[0]
             aug = pipeline.sample_augment(rng, b, train=train)
-            voxel_fn = pipeline.make_window_fn(aug)
+            voxel_fn = pipeline.make_window_fn(
+                aug, t_prenormalized=bool(
+                    batch.get("ev_t_prenormalized", False)))
             if labels is not None:
                 labels = pipeline.apply_label_transform(labels, aug)
             img, _, latent = recon.rollout_events(

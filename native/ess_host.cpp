@@ -365,4 +365,98 @@ void ingest_rectify_bin_f32(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Packed variant of the fused ingest: emits quantized SoA columns instead of
+// the (T, cap, 4) float32 AoS buffer — 7 bytes/event on the wire instead of
+// 17 (incl. the validity mask, which packed mode derives from the tile
+// offsets). Quantization: coords in 1/64 px (u16, exact for x < 1024),
+// per-window time normalized to [0, 1] in 1/60000 steps (u16), polarity u8.
+// Tile ids come from the QUANTIZED coords (>> 6), so host binning and the
+// device kernel agree bit-for-bit.
+// ---------------------------------------------------------------------------
+
+void ingest_rectify_bin_packed(
+    const uint16_t* x, const uint16_t* y, const int64_t* t, const uint8_t* p,
+    const int64_t* starts, const int64_t* ends, int64_t T, int64_t cap,
+    const float* map, int64_t mh, int64_t mw,
+    int64_t tile_h, int64_t tile_w, int64_t n_tiles_x, int64_t n_tiles,
+    uint16_t* out_x, uint16_t* out_y, uint16_t* out_t, uint8_t* out_p,
+    int32_t* offsets, int64_t* counts, int32_t* q_scratch,
+    int32_t* tid_scratch) {
+  const float fw = static_cast<float>(mw);
+  const float fh = static_cast<float>(mh);
+  for (int64_t wi = 0; wi < T; ++wi) {
+    int64_t s = starts[wi];
+    const int64_t e = ends[wi];
+    if (e - s > cap) s = e - cap;
+    const int64_t n = e > s ? e - s : 0;
+    uint16_t* dx = out_x + wi * cap;
+    uint16_t* dy = out_y + wi * cap;
+    uint16_t* dt = out_t + wi * cap;
+    uint8_t* dp = out_p + wi * cap;
+    int32_t* offs = offsets + wi * (n_tiles + 1);
+
+    std::memset(counts, 0, sizeof(int64_t) * n_tiles);
+    int64_t kept = 0;
+    const int64_t t0 = n > 0 ? t[s] : 0;
+    const int64_t t1 = n > 0 ? t[e - 1] : 0;
+    const float tscale = t1 > t0 ? 60000.0f / static_cast<float>(t1 - t0)
+                                 : 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t src = s + i;
+      const float* m = map + (static_cast<int64_t>(y[src]) * mw +
+                              static_cast<int64_t>(x[src])) * 2;
+      const float rx = m[0];
+      const float ry = m[1];
+      if (rx < 0.f || rx >= fw || ry < 0.f || ry >= fh) {
+        tid_scratch[i] = -1;
+        continue;
+      }
+      // quantize FIRST; bin by the quantized position so device tiling
+      // agrees exactly. round-to-nearest can push a coord to the next
+      // integer boundary (and across a tile edge) — that's fine, the
+      // kernel sees the same quantized value.
+      int32_t xq = static_cast<int32_t>(rx * 64.0f + 0.5f);
+      int32_t yq = static_cast<int32_t>(ry * 64.0f + 0.5f);
+      const int32_t xq_max = static_cast<int32_t>(mw) * 64 - 1;
+      const int32_t yq_max = static_cast<int32_t>(mh) * 64 - 1;
+      if (xq > xq_max) xq = xq_max;
+      if (yq > yq_max) yq = yq_max;
+      int32_t tx = (xq >> 6) / static_cast<int32_t>(tile_w);
+      if (tx > n_tiles_x - 1) tx = static_cast<int32_t>(n_tiles_x) - 1;
+      const int32_t ty = (yq >> 6) / static_cast<int32_t>(tile_h);
+      const int32_t tid = ty * static_cast<int32_t>(n_tiles_x) + tx;
+      tid_scratch[i] = tid;
+      q_scratch[i * 2 + 0] = xq;
+      q_scratch[i * 2 + 1] = yq;
+      ++counts[tid];
+      ++kept;
+    }
+    int64_t run = 0;
+    for (int64_t ti = 0; ti < n_tiles; ++ti) {
+      offs[ti] = static_cast<int32_t>(run);
+      const int64_t c = counts[ti];
+      counts[ti] = run;
+      run += c;
+    }
+    offs[n_tiles] = static_cast<int32_t>(run);
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t tid = tid_scratch[i];
+      if (tid < 0) continue;
+      const int64_t at = counts[tid]++;
+      dx[at] = static_cast<uint16_t>(q_scratch[i * 2 + 0]);
+      dy[at] = static_cast<uint16_t>(q_scratch[i * 2 + 1]);
+      float tq = static_cast<float>(t[s + i] - t0) * tscale + 0.5f;
+      dt[at] = static_cast<uint16_t>(tq > 60000.f ? 60000.f : tq);
+      dp[at] = p[s + i];
+    }
+    if (kept < cap) {
+      std::memset(dx + kept, 0, sizeof(uint16_t) * (cap - kept));
+      std::memset(dy + kept, 0, sizeof(uint16_t) * (cap - kept));
+      std::memset(dt + kept, 0, sizeof(uint16_t) * (cap - kept));
+      std::memset(dp + kept, 0, cap - kept);
+    }
+  }
+}
+
 }  // extern "C"

@@ -171,3 +171,55 @@ def test_ingest_rectify_bin_matches_chain(rng):
     np.testing.assert_array_equal(got[1], ref[1])
     np.testing.assert_array_equal(got[2], ref[2])
     np.testing.assert_allclose(got[0], ref[0], atol=1e-4)
+
+
+def test_packed_ingest_voxel_parity(rng):
+    """The packed u16 wire format (quantized coords + pre-normalized time)
+    voxelizes to grids within quantization tolerance of the f32 path."""
+    import jax.numpy as jnp
+
+    import ess_tpu.data.native as native
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig, to_soa
+    from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    T, N, H, W = 3, 1500, 48, 256
+    total = T * N
+    ev = {
+        "x": rng.integers(0, W, total).astype(np.uint16),
+        "y": rng.integers(0, H, total).astype(np.uint16),
+        "t": np.cumsum(rng.integers(1, 30, total)).astype(np.int64),
+        "p": rng.integers(0, 2, total).astype(np.uint8),
+    }
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rmap = np.stack([xx + rng.normal(0, 0.4, xx.shape).astype(np.float32),
+                     yy + rng.normal(0, 0.4, yy.shape).astype(np.float32)],
+                    axis=-1)
+    starts = np.arange(T, dtype=np.int64) * N
+    th = tile_h_for_bins(5)
+
+    f32 = native.ingest_rectify_bin(ev, starts, starts + N, N, rmap,
+                                    tile_h=th)
+    pk = native.ingest_rectify_bin_packed(ev, starts, starts + N, N, rmap,
+                                          tile_h=th)
+    assert pk is not None
+    # same events kept per window (quantization may only move an event
+    # BETWEEN tiles, never drop it)
+    np.testing.assert_array_equal(pk["tile_offsets"][:, -1],
+                                  f32[2][:, -1])
+    assert pk["ev_xq"].dtype == np.uint16
+
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=H, sensor_width=W, num_bins=5, trilinear=True,
+        normalize=False, use_pallas=True, pallas_interpret=True))
+    batchify = lambda d: {k: jnp.asarray(np.asarray(v)[None])
+                          for k, v in d.items()}
+    g_pk, _ = pipe.build_all(batchify(to_soa(dict(pk))))
+    raw, valid, offs = f32
+    soa = to_soa({"raw_events": raw, "valid": valid, "tile_offsets": offs})
+    g_f32, _ = pipe.build_all(batchify(soa))
+    # coords quantized at 1/64 px shift corner weights by <= 1/64 each
+    diff = np.abs(np.asarray(g_pk) - np.asarray(g_f32))
+    assert diff.max() <= 0.26, diff.max()  # few-event cells, small shifts
+    assert np.mean(diff) < 5e-3

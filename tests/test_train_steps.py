@@ -180,3 +180,50 @@ def test_uda_eval_steps(rng):
     assert out_b["cm_b"].shape == (6, 6)
     assert out_b["cm_cycle"].shape == (6, 6)
     assert "cycle_pred_1x_sensor_b_to_sensor_a_loss" in out_b
+
+
+def test_supervised_step_packed_wire(rng):
+    """The supervised train step consumes a packed-wire batch (u16 quantized
+    SoA + offsets-derived validity) end to end."""
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+
+    import dataclasses
+
+    cfg = tiny_config(model_name="ess_supervised", event_name="DSEC_events")
+    h, w = 16, 128  # kernel-aligned toy sensor
+    cfg = cfg.replace(dataset=dataclasses.replace(
+        cfg.dataset,
+        sensor_b=dataclasses.replace(cfg.dataset.sensor_b, shape=(h, w))))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    b, t, n = 2, 2, 512
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, use_pallas=True, pallas_interpret=True))
+
+    from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+    th = tile_h_for_bins(5)
+    ntx = w // 128
+    n_tiles = (-(-h // th)) * ntx
+    xq = rng.integers(0, w * 64, (b, t, n)).astype(np.uint16)
+    yq = rng.integers(0, h * 64, (b, t, n)).astype(np.uint16)
+    # sort by tile id to honor the offsets contract
+    tid = (yq // 64 // th) * ntx + np.minimum(xq // 64 // 128, ntx - 1)
+    order = np.argsort(tid, axis=-1, kind="stable")
+    take = lambda a: np.take_along_axis(a, order, axis=-1)
+    xq, yq, tid = take(xq), take(yq), take(tid)
+    offs = np.stack([
+        np.searchsorted(tid[i, j], np.arange(n_tiles + 1)).astype(np.int32)
+        for i in range(b) for j in range(t)
+    ]).reshape(b, t, -1)
+    batch = {
+        "ev_xq": jnp.asarray(xq), "ev_yq": jnp.asarray(yq),
+        "ev_tq": jnp.asarray(
+            np.sort(rng.integers(0, 60001, (b, t, n)), axis=-1), jnp.uint16),
+        "ev_pq": jnp.asarray(rng.integers(0, 2, (b, t, n)), jnp.uint8),
+        "ev_tile_offsets": jnp.asarray(offs),
+        "label": jnp.asarray(rng.integers(0, 6, (b, h, w)), jnp.int32),
+    }
+    step = sup.make_train_step(mods, pipe)
+    state2, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))
