@@ -221,6 +221,11 @@ class SequenceRecurrent:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         import cv2
 
+        if not 0 <= i < self.n_windows:
+            # honor the sequence protocol: iter() over this object must
+            # terminate (a missing IndexError makes it loop forever on
+            # empty windows)
+            raise IndexError(i)
         ev = self.seq.slicer.get_events_fixed_num_recurrent(
             i * self.nr_events_window, (i + 1) * self.nr_events_window)
         # every streamed window is rectified exactly like the random-access

@@ -28,7 +28,8 @@ from ess_tpu.train.metrics import MetricsSemseg, confusion_matrix
 from ess_tpu.train.state import TrainState
 
 
-def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline):
+def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
+                         *, t_prenormalized: bool = False):
     """(encode_step, score_step) jitted fns for streaming eval.
 
     encode_step(state, recon_state, window, is_first) -> recon_state
@@ -38,7 +39,8 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline):
     """
     cfg = mods.cfg
     recon = mods.recon_val
-    voxel_fn = pipeline.make_window_fn(AugmentParams())
+    voxel_fn = pipeline.make_window_fn(AugmentParams(),
+                                       t_prenormalized=t_prenormalized)
 
     def _reset_where(is_first, recon_state, b):
         fresh = recon.init_state(b)
@@ -98,17 +100,25 @@ def run_streaming_eval(
     from ess_tpu.data.pipeline import to_soa
 
     cfg = mods.cfg
-    encode_step, score_step = make_streaming_steps(mods, pipeline)
+    encode_step = score_step = None
     metrics = MetricsSemseg(cfg.task.semseg_num_classes,
                             cfg.task.semseg_ignore_label,
                             cfg.task.class_names)
     recon_state = None
     for sample in stream:
-        if "raw_events" in sample:
-            sample = to_soa(sample)
+        if "raw_events" in sample or "ev_xq" in sample:
+            sample = to_soa(sample)   # also renames packed tile_offsets
+        packed = "ev_xq" in sample
+        if encode_step is None:
+            # the voxel window fn is specialized on the wire format
+            encode_step, score_step = make_streaming_steps(
+                mods, pipeline, t_prenormalized=packed)
         batch = {k: (np.asarray(v)[None] if np.ndim(v) != 0 else
                      np.asarray([v])) for k, v in sample.items()}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if packed:
+            batch = pipeline.decode_packed(batch)
+            batch.pop("ev_t_prenormalized", None)
         if recon_state is None:
             recon_state = mods.recon_val.init_state(batch["ev_x"].shape[0])
         if bool(np.asarray(sample["has_label"])):

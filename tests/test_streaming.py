@@ -144,3 +144,44 @@ def test_dsec_19class_streaming_end_to_end(tmp_path, rng):
     s = metrics.summary()
     assert s["cm"].shape == (19, 19)
     assert s["cm"].sum() == n_scored * 440 * 640
+
+
+def test_streaming_eval_packed_wire(tmp_path, rng):
+    """Streaming eval consumes packed-wire SequenceRecurrent samples."""
+    pytest.importorskip("h5py")
+    pytest.importorskip("cv2")
+    import ess_tpu.data.native as native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from tests.test_datasets_integration import make_dsec_seq
+
+    seq_dir = str(tmp_path / "seqp")
+    make_dsec_seq(seq_dir, n_events=8000)
+    from ess_tpu.data.dsec import DSECSequence, SequenceRecurrent
+    seq = DSECSequence(seq_dir, mode="val", nr_events_data=1,
+                       nr_events_window=1024, wire_format="packed")
+    stream = SequenceRecurrent(seq, nr_events_window=1024)
+    sample = stream[0]
+    assert "ev_xq" in sample and sample["ev_xq"].dtype == np.uint16
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
+            sensor_b=EventDatasetConfig(name="DSEC_events", shape=(440, 640),
+                                        nr_events_data=1,
+                                        nr_events_window=1024),
+        ),
+        model=ModelConfig(model_name="ess_supervised", e2vid_base_channels=8,
+                          compute_dtype="float32"),
+        task=TaskConfig(semseg_num_classes=11),
+        optim=OptimConfig(),
+    )
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=480, sensor_width=640, num_bins=5, crop_bottom=40,
+        trilinear=True, normalize=True))
+    from ess_tpu.train.streaming import run_streaming_eval
+    metrics = run_streaming_eval(mods, state, iter(stream), pipe)
+    assert metrics.confusion.sum() > 0
