@@ -246,7 +246,10 @@ def bench_ingest_dsec(num_workers=None, wire="f32"):
     ds = _SyntheticDSEC(t, n, 480, 640, 11, length=40, wire=wire)
 
     def run(n_batches):
-        loader = BatchLoader(ds, b, shuffle=True, num_workers=num_workers)
+        # collate ring is safe here: prefetch size 2, each batch is fully
+        # device_put before the next three are produced
+        loader = BatchLoader(ds, b, shuffle=True, num_workers=num_workers,
+                             collate_buffers=4)
         it = (to_soa(bb) for bb in loader)
         count = 0
         nonlocal state
@@ -267,7 +270,8 @@ def bench_ingest_dsec(num_workers=None, wire="f32"):
           flush=True)
 
     # loader-only rate for the breakdown
-    loader = BatchLoader(ds, b, shuffle=True, num_workers=num_workers)
+    loader = BatchLoader(ds, b, shuffle=True, num_workers=num_workers,
+                         collate_buffers=4)
     t0 = time.perf_counter()
     nb = 0
     for bb in loader:

@@ -231,23 +231,19 @@ class SequenceRecurrent:
         # every streamed window is rectified exactly like the random-access
         # path (reference sequence_recurrent.py:239)
         out = {"is_first": np.bool_(i == 0)}
+        done = False
         if self.seq.tile_bin and self.seq.wire_format == "packed":
             pk = self.seq._fused_ingest(ev, 1, packed=True)
             if pk is not None:
                 out.update(pk)
-                li = self.label_idx.get(i)
-                if li is not None:
-                    out["label"] = cv2.imread(
-                        self.seq.label_files[li], 0).astype(np.uint8)
-                    out["has_label"] = np.bool_(True)
-                else:
-                    out["has_label"] = np.bool_(False)
-                return out
-        got = self.seq._fused_ingest(ev, 1) if self.seq.tile_bin else None
-        if got is not None:
-            raw, valid, offsets = got
-            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
-        else:
+                done = True
+        if not done and self.seq.tile_bin:
+            got = self.seq._fused_ingest(ev, 1)
+            if got is not None:
+                raw, valid, offsets = got
+                out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+                done = True
+        if not done:
             events = self.seq._rectify(events_dict_to_xytp(ev))
             raw, valid = pad_windows([events], self.nr_events_window)
             out.update(raw_events=raw, valid=valid)

@@ -82,7 +82,7 @@ class BatchLoader:
         seed: int = 6,
         shard_index: int = 0,
         num_shards: int = 1,
-        collate_buffers: int = 4,
+        collate_buffers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -92,9 +92,11 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.shard_index = shard_index
         self.num_shards = num_shards
-        # ring of preallocated collate destinations (0 = fresh np.stack per
-        # batch). 4 slots cover the prefetch queue + in-flight H2D copies;
-        # a deeper downstream pipeline needs a deeper ring.
+        # ring of preallocated collate destinations. 0 (default) = fresh
+        # np.stack per batch — always safe. N > 0 recycles each buffer
+        # after N batches: only enable when the consumer provably finishes
+        # with a batch (device_put complete, no references held) within
+        # N-1 subsequent batches; prefetch depth + in-flight H2D must fit.
         self.collate_buffers = collate_buffers
         self._ring: list = []
         self._ring_i = 0

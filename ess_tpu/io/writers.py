@@ -39,8 +39,8 @@ class MetricsWriter:
                     project=tracker_project, dir=log_dir,
                     config=config or {}, mode=os.environ.get(
                         "WANDB_MODE", "offline"))
-            except Exception:
-                pass
+            except Exception as e:  # degrade gracefully, but say so
+                print(f"[ess-tpu] wandb tracker disabled: {e!r}")
         elif callable(tracker):
             self._tracker = tracker
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")

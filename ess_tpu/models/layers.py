@@ -151,6 +151,11 @@ class ConvLayer(nn.Module):
 
     def _resolve_impl(self, x: jax.Array) -> str:
         impl = self.conv_impl
+        if impl not in ("auto", "xla", "s2d", "xla_im2col"):
+            # e.g. the retired round-1 'pallas' patch kernel: failing loudly
+            # beats silently falling back to the MXU-hostile direct lowering
+            raise ValueError(f"unknown conv_impl {impl!r}; "
+                             "use 'auto' | 'xla' | 's2d' | 'xla_im2col'")
         if impl == "auto":
             ok = (self.strides == 1 and self.kernel_size == 5
                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)

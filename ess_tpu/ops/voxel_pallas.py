@@ -328,9 +328,9 @@ def voxelize_tiled(
 
 def _tiles_to_blocks(tiles: jax.Array, *, bins: int, tile_h: int,
                      height: int, width: int):
-    """(B, n_super, rows_pad, K*COL_SLOT) accumulators ->
-    (core, halo_y, halo_x, halo_yx) views at
-    (b, n_ty, n_tx, bins, tile_h[, +1], TILE_W[, +1])."""
+    """(B, n_super, rows_pad, K*COL_SLOT) accumulators -> halo-folded
+    (b, n_ty, n_tx, bins, tile_h, TILE_W) core blocks (each tile's +1 halo
+    row/col added into the neighbour below/right)."""
     b = tiles.shape[0]
     th, tw = tile_h, TILE_W
     n_ty, n_tx = height // th, width // tw
@@ -340,7 +340,15 @@ def _tiles_to_blocks(tiles: jax.Array, *, bins: int, tile_h: int,
     t = t.reshape(b, n_ty, n_tx, tiles.shape[2], COL_SLOT)
     t = t[:, :, :, : bins * (th + 1), : tw + 1]
     t = t.reshape(b, n_ty, n_tx, bins, th + 1, tw + 1)
-    return t[..., :th, :tw], t[..., th, :tw], t[..., :th, tw], t[..., th, tw]
+    core = t[..., :th, :tw]
+    halo_y = t[..., th, :tw]
+    halo_x = t[..., :th, tw]
+    halo_yx = t[..., th, tw]
+    full = core
+    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
+    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
+    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
+    return full
 
 
 def _fold_halo(tiles: jax.Array, *, bins: int, tile_h: int,
@@ -350,12 +358,8 @@ def _fold_halo(tiles: jax.Array, *, bins: int, tile_h: int,
     Each tile slot holds (tile_h+1) rows x (TILE_W+1) cols per bin; the +1
     halo row/col belongs to the neighbouring tile below/right.
     """
-    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+    full = _tiles_to_blocks(
         tiles, bins=bins, tile_h=tile_h, height=height, width=width)
-    full = core
-    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
-    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
-    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
     b = tiles.shape[0]
     full = jnp.moveaxis(full, 3, 1)               # (b, bins, ty, tx, th, tw)
     full = jnp.moveaxis(full, 4, 3)               # (b, bins, ty, th, tx, tw)
@@ -367,12 +371,8 @@ def _fold_halo_nhwc(tiles: jax.Array, *, bins: int, tile_h: int,
     """Like :func:`_fold_halo` but emits (B, H, W, bins) directly — the model
     consumes NHWC, so folding straight to it saves one full-grid transpose
     pass per window."""
-    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+    full = _tiles_to_blocks(
         tiles, bins=bins, tile_h=tile_h, height=height, width=width)
-    full = core
-    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
-    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
-    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
     b = tiles.shape[0]
     full = jnp.transpose(full, (0, 1, 4, 2, 5, 3))  # (b, ty, th, tx, tw, bins)
     return full.reshape(b, height, width, bins)
@@ -387,12 +387,8 @@ def _fold_halo_s2d(tiles: jax.Array, *, bins: int, tile_h: int,
     removing the per-window s2d transpose from the recurrent scan (~25
     ms/step at DSEC scale, measured round 2)."""
     assert tile_h % 2 == 0 and height % 2 == 0, (tile_h, height)
-    core, halo_y, halo_x, halo_yx = _tiles_to_blocks(
+    full = _tiles_to_blocks(
         tiles, bins=bins, tile_h=tile_h, height=height, width=width)
-    full = core
-    full = full.at[:, 1:, :, :, 0, :].add(halo_y[:, :-1])
-    full = full.at[:, :, 1:, :, :, 0].add(halo_x[:, :, :-1])
-    full = full.at[:, 1:, 1:, :, 0, 0].add(halo_yx[:, :-1, :-1])
     b = tiles.shape[0]
     th, tw = tile_h, TILE_W
     n_ty, n_tx = height // th, width // tw

@@ -29,11 +29,9 @@ def initialize(coordinator_address: Optional[str] = None,
     import jax
 
     # NB: must not touch the backend (jax.process_count/jax.devices) before
-    # the handshake — backend init pins single-process mode. Probe the
-    # distributed client state directly instead.
-    from jax._src import distributed as _dist
-
-    if getattr(_dist.global_state, "client", None) is not None:
+    # the handshake — backend init pins single-process mode.
+    # jax.distributed.is_initialized() probes the client without it.
+    if jax.distributed.is_initialized():
         return  # already initialized
     explicit = coordinator_address is not None or num_processes is not None
     try:

@@ -24,7 +24,6 @@ def cross_entropy_loss(
 ) -> jax.Array:
     """Mean softmax cross-entropy over non-ignored pixels
     (torch.nn.CrossEntropyLoss(ignore_index) semantics)."""
-    num_classes = logits.shape[-1]
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0)
     log_probs = jax.nn.log_softmax(logits, axis=-1)

@@ -29,7 +29,7 @@ from ess_tpu.train.state import TrainState
 
 
 def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
-                         *, t_prenormalized: bool = False):
+                         *, wire: str = "f32"):
     """(encode_step, score_step) jitted fns for streaming eval.
 
     encode_step(state, recon_state, window, is_first) -> recon_state
@@ -39,8 +39,9 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
     """
     cfg = mods.cfg
     recon = mods.recon_val
+    packed = wire == "packed"
     voxel_fn = pipeline.make_window_fn(AugmentParams(),
-                                       t_prenormalized=t_prenormalized)
+                                       t_prenormalized=packed)
 
     def _reset_where(is_first, recon_state, b):
         fresh = recon.init_state(b)
@@ -52,6 +53,11 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
         return jax.tree.map(pick, fresh, recon_state)
 
     def _window(batch_soa):
+        if packed:
+            # dequantize INSIDE the jit — one fused pass, no per-window
+            # eager dispatches in the streaming hot loop
+            batch_soa = dict(pipeline.decode_packed(batch_soa))
+            batch_soa.pop("ev_t_prenormalized", None)
         take = lambda a: a[:, 0] if a.ndim == 3 else a
         offs = batch_soa.get("ev_tile_offsets")
         return voxel_fn(take(batch_soa["ev_x"]), take(batch_soa["ev_y"]),
@@ -60,7 +66,7 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
                         tile_offsets=take(offs) if offs is not None else None)
 
     def encode_step(state: TrainState, recon_state, batch):
-        b = batch["ev_x"].shape[0]
+        b = batch["ev_xq" if packed else "ev_x"].shape[0]
         recon_state = _reset_where(batch["is_first"], recon_state, b)
         grids = _window(batch)
         _, new_state, _ = recon.step(state.e2vid_params, grids, recon_state,
@@ -68,7 +74,7 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
         return new_state
 
     def score_step(state: TrainState, recon_state, batch):
-        b = batch["ev_x"].shape[0]
+        b = batch["ev_xq" if packed else "ev_x"].shape[0]
         recon_state = _reset_where(batch["is_first"], recon_state, b)
         grids = _window(batch)
         _, new_state, latent = recon.step(state.e2vid_params, grids,
@@ -110,17 +116,16 @@ def run_streaming_eval(
             sample = to_soa(sample)   # also renames packed tile_offsets
         packed = "ev_xq" in sample
         if encode_step is None:
-            # the voxel window fn is specialized on the wire format
+            # the steps are specialized on the wire format (packed windows
+            # dequantize inside the jit)
             encode_step, score_step = make_streaming_steps(
-                mods, pipeline, t_prenormalized=packed)
+                mods, pipeline, wire="packed" if packed else "f32")
         batch = {k: (np.asarray(v)[None] if np.ndim(v) != 0 else
                      np.asarray([v])) for k, v in sample.items()}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if packed:
-            batch = pipeline.decode_packed(batch)
-            batch.pop("ev_t_prenormalized", None)
         if recon_state is None:
-            recon_state = mods.recon_val.init_state(batch["ev_x"].shape[0])
+            key = "ev_xq" if packed else "ev_x"
+            recon_state = mods.recon_val.init_state(batch[key].shape[0])
         if bool(np.asarray(sample["has_label"])):
             recon_state, cm = score_step(state, recon_state, batch)
             metrics.update_confusion(np.asarray(cm))
