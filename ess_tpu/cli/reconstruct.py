@@ -113,7 +113,10 @@ def main(argv=None) -> None:
         frame8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
         out_path = os.path.join(args.output_folder, f"frame_{i:010d}.png")
         if args.color and cv2 is not None:
-            # slice the normalized grid at the four 2x2 Bayer phases
+            # slice the normalized grid at the four 2x2 Bayer phases —
+            # matching the reference order exactly: event_preprocessor
+            # normalizes the FULL grid first (image_reconstructor.py:91),
+            # THEN the phases are sliced from it (:96-100)
             phases = jnp.stack([grid[0, r::2, s::2]
                                 for r, s in BAYER_PHASES.values()])
             imgs, color_state, _ = color_step_fn(params, phases, color_state)
