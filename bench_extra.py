@@ -48,16 +48,17 @@ def make_event_batch(rng, b, t, n, sensor_h, sensor_w, label_hw, classes,
     }
 
 
-def time_step(step, state, batch, iters=5):
+def time_step(step, state, batch, iters=10):
+    """Queued-dispatch timing: steps chain through the donated state; one
+    final scalar fetch amortizes the tunnel round-trip (per-iteration
+    fetches measure RTT, not the step)."""
     state, out = step(state, batch)
     float(out["loss"])
-    tl = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         state, out = step(state, batch)
-        float(out["loss"])
-        tl.append(time.perf_counter() - t0)
-    return min(tl)
+    float(out["loss"])
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_supervised(name, *, b, t, n, sensor, label_hw, classes, pipe_kw):
@@ -133,14 +134,61 @@ def bench_uda_dsec():
 
     state, losses = step(state, batch)
     float(losses["loss"])
-    tl = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
         state, losses = step(state, batch)
-        float(losses["loss"])
-        tl.append(time.perf_counter() - t0)
-    dt = min(tl)
+    float(losses["loss"])
+    dt = (time.perf_counter() - t0) / iters
     print(f"DSEC UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s",
+          flush=True)
+
+
+def bench_uda_ddd17():
+    """ESS UDA on DDD17 (BASELINE.json config 2): Cityscapes frames ->
+    DDD17 events at the reference's 120x216 train crop, temporal-bilinear
+    voxelization, cycle losses, both optimizers."""
+    import jax
+    import jax.numpy as jnp
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.train import uda as uda_mod
+    from ess_tpu.train.builder import build_modules, init_state, make_pipeline
+
+    b, t, n = 16, 20, 32_000
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(120, 216)),
+            sensor_b=EventDatasetConfig(
+                name="DDD17_events", shape=(200, 346), nr_events_data=t,
+                nr_temporal_bins=5, nr_events_window=n)),
+        model=ModelConfig(model_name="ess", compute_dtype="bfloat16",
+                          data_augmentation_train=True),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(batch_size_a=b, batch_size_b=b))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = make_pipeline(cfg, train=True)  # 260x346 -> resize -> 120x216 crop
+    rng = np.random.default_rng(0)
+    batch = make_event_batch(rng, b, t, n, 260, 346, (120, 216), 6,
+                             int_coords=True)
+    batch["image_a"] = jnp.asarray(
+        rng.normal(size=(b, 120, 216, 1)), jnp.float32)
+    batch["label_a"] = jnp.asarray(
+        rng.integers(0, 6, (b, 120, 216)), jnp.int32)
+    batch.pop("label")
+    step = uda_mod.make_train_step(mods, pipe)
+
+    state, losses = step(state, batch)
+    float(losses["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch)
+    float(losses["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"DDD17 UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s",
           flush=True)
 
 
@@ -291,7 +339,8 @@ def main():
                      sensor=(480, 640), label_hw=(440, 640), classes=11,
                      pipe_kw={"crop_bottom": 40, "trilinear": True})
     bench_uda_dsec()
-    bench_ingest_dsec()
+    bench_uda_ddd17()
+    bench_ingest_dsec(wire="packed")
 
 
 if __name__ == "__main__":
