@@ -101,8 +101,12 @@ def uda_losses(
         weight=w.weight_cycle_emb_loss, losses=losses,
         prefix="sensor_b_to_sensor_a")
     pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
-    pred_real_ng = jax.tree.map(
-        sg, mods.head.apply({"params": back_frozen}, latent_real))
+    # the event-branch prediction is computed ONCE (latent_real is already
+    # stop-gradient, so gradients reach only the head); its sg'd copy is
+    # the reference's torch.no_grad target (trainCycleStep :191-193) —
+    # forward values are identical, one full-res head pass saved
+    pred_real = mods.head.apply({"params": back_params}, latent_real)
+    pred_real_ng = jax.tree.map(sg, pred_real)
     sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
     losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
     if is_dsec:  # only DSEC adds the 1x symJS to e-loss (:240-241)
@@ -114,7 +118,6 @@ def uda_losses(
 
     # t-loss: trains the head only (TasktrainCycleStep; latent_real is
     # stop-gradient so no path to the encoder).
-    pred_real = mods.head.apply({"params": back_params}, latent_real)
     pred_fake_ng = jax.tree.map(sg, pred_fake_fr)
     t_ev = symmetric_js_divergence(
         pred_real[1], pred_fake_ng[1]) * w.weight_cycle_pred_loss
