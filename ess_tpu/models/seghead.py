@@ -72,7 +72,10 @@ class SegmentationHead(nn.Module):
             x = upsample2x_nearest(x)
             x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
             x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
-            out[1] = x.astype(jnp.float32)
+            # logits stay in compute dtype: the values are already bf16
+            # -rounded, so upcasting here only materializes a 2x-bandwidth
+            # full-res f32 tensor; the losses upcast inside their own passes
+            out[1] = x
         else:
             if self.input_index_map:
                 n, h, w, _ = x.shape
@@ -92,6 +95,6 @@ class SegmentationHead(nn.Module):
             x = upsample2x_nearest(x)
             x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
             x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
-            out[1] = x.astype(jnp.float32)
+            out[1] = x
 
         return out

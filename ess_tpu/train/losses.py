@@ -26,7 +26,7 @@ def cross_entropy_loss(
     (torch.nn.CrossEntropyLoss(ignore_index) semantics)."""
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     # select the label's log-prob with a fused class-iota mask-reduce: a
     # take_along_axis gather serializes on TPU (~31 ms/step at DSEC scale,
     # measured); the masked sum is one bandwidth-bound elementwise pass.
@@ -55,8 +55,8 @@ def dice_loss(
     """
     valid = (labels != ignore_label)[..., None]
     safe_labels = jnp.where(labels == ignore_label, 0, labels)
-    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=logits.dtype) * valid
-    probs = jax.nn.softmax(logits, axis=-1) * valid
+    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32) * valid
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * valid
 
     # reduce over batch + spatial dims, keep class axis
     axes = tuple(range(probs.ndim - 1))
@@ -81,6 +81,10 @@ def task_loss(
     (B, 440, 640, C) logits versus calling the two losses independently.
     """
     if set(losses) >= {"dice", "cross_entropy"}:
+        # loss math in f32 regardless of the (possibly bf16) logits dtype —
+        # the upcast fuses into the softmax pass instead of materializing a
+        # full-resolution f32 logits tensor upstream
+        logits = logits.astype(jnp.float32)
         valid = labels != ignore_label
         safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -118,8 +122,10 @@ def symmetric_js_divergence(p_logits: jax.Array, q_logits: jax.Array) -> jax.Arr
     KLDivLoss's legacy 'mean' reduction (divide by element count, not batch)
     and the min=1e-10 clamp before the log.
     """
-    p = jnp.clip(jax.nn.softmax(p_logits, axis=-1), 1e-10, None)
-    q = jnp.clip(jax.nn.softmax(q_logits, axis=-1), 1e-10, None)
+    p = jnp.clip(jax.nn.softmax(p_logits.astype(jnp.float32), axis=-1),
+                 1e-10, None)
+    q = jnp.clip(jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1),
+                 1e-10, None)
     kl_qp = jnp.mean(q * (jnp.log(q) - jnp.log(p)))  # KLDivLoss(log p, q)
     kl_pq = jnp.mean(p * (jnp.log(p) - jnp.log(q)))
     return 0.5 * kl_qp + 0.5 * kl_pq
