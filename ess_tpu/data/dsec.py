@@ -110,6 +110,15 @@ class DSECSequence:
         if self.fixed_duration:
             ts_start = ts_end - self.delta_t_us
             per_us = self.delta_t_us / t_dim
+            if self.tile_bin:
+                got = self._fused_ingest_duration(ts_start, per_us, t_dim)
+                if got is not None:
+                    if isinstance(got, dict):   # packed wire
+                        got["label"] = label
+                        return got
+                    raw, valid, offsets = got
+                    return {"raw_events": raw, "valid": valid,
+                            "tile_offsets": offsets, "label": label}
             chunks = []
             for i in range(t_dim):
                 ev = self.slicer.get_events(
@@ -144,6 +153,32 @@ class DSECSequence:
                 bins=self.tile_bins)
             out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
         return out
+
+    def _fused_ingest_duration(self, ts_start: float, per_us: float,
+                               t_dim: int):
+        """Fixed-duration variant of the fused native ingest: resolve the
+        T+1 window boundaries to event indices via the ms_to_idx slicer,
+        read the covered columns ONCE, and run the one-pass C++ rectify +
+        pad + tile-bin over per-window bounds (the numpy fallback does T
+        separate slicer reads + rectify passes)."""
+        from ess_tpu.data import native
+        from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+
+        bounds = []
+        for i in range(t_dim + 1):
+            idx = self.slicer.index_of_time(int(ts_start + i * per_us))
+            if idx is None:
+                return None  # out-of-range: fall back to the legacy chain
+            bounds.append(idx)
+        lo = bounds[0]
+        ev = self.slicer.get_events_fixed_num_recurrent(lo, max(bounds[-1],
+                                                                lo + 1))
+        starts = np.asarray(bounds[:-1], np.int64) - lo
+        ends = np.asarray(bounds[1:], np.int64) - lo
+        fn = (native.ingest_rectify_bin_packed
+              if self.wire_format == "packed" else native.ingest_rectify_bin)
+        return fn(ev, starts, ends, self.nr_events_window, self.rectify_map,
+                  tile_h=tile_h_for_bins(self.tile_bins))
 
     def _fused_ingest(self, ev, t_dim: int, *, packed: bool = False):
         """Native one-pass rectify + pad + tile-bin of raw h5 columns

@@ -230,3 +230,30 @@ def test_ddd17_gray(tmp_path):
     both = ConcatImages(ds, DDD17Gray(str(tmp_path), split="valid"))
     assert len(both) == 15 + 3
     assert both[16]["image"].shape == (200, 352, 1)
+
+
+def test_dsec_fixed_duration_fused_matches_legacy(tmp_path):
+    """Fixed-duration fused native ingest == the per-window slicer chain."""
+    pytest.importorskip("h5py")
+    pytest.importorskip("cv2")
+    from ess_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native lib unavailable")
+    seq_dir = str(tmp_path / "train" / "zurich_city_00_a")
+    make_dsec_seq(seq_dir, n_labels=10)
+    mk = lambda: DSECSequence(seq_dir, nr_events_data=4, nr_events_window=600,
+                              fixed_duration=True, delta_t_per_data=50)
+    seq = mk()
+    fused = seq[0]
+    assert "tile_offsets" in fused
+
+    legacy_seq = mk()
+    legacy_seq._fused_ingest_duration = lambda *a, **k: None
+    legacy = legacy_seq[0]
+    np.testing.assert_array_equal(fused["valid"], legacy["valid"])
+    np.testing.assert_array_equal(fused["tile_offsets"],
+                                  legacy["tile_offsets"])
+    np.testing.assert_allclose(fused["raw_events"], legacy["raw_events"],
+                               atol=1e-4)
+    np.testing.assert_array_equal(fused["label"], legacy["label"])
