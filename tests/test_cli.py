@@ -133,3 +133,30 @@ def test_reconstruct_cli_color(tmp_path, rng):
     import cv2
     img = cv2.imread(os.path.join(out_dir, frames[0]), cv2.IMREAD_UNCHANGED)
     assert img.shape == (48, 64, 3)
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    """Train (with checkpointing) then evaluate the saved checkpoint via the
+    standalone evaluation CLI (reference README.md:104-110 eval path)."""
+    pytest.importorskip("cv2")
+    ddd17 = tmp_path / "ddd17"
+    ddd17.mkdir()
+    make_ddd17_dir(str(ddd17), n_masks=2, n_events=4000)
+    yaml_path = str(tmp_path / "cfg.yaml")
+    write_yaml(yaml_path, str(ddd17), str(tmp_path / "logs"))
+    with open(yaml_path) as f:
+        text = f.read().replace("save_checkpoint: False",
+                                "save_checkpoint: True")
+    with open(yaml_path, "w") as f:
+        f.write(text)
+
+    from ess_tpu.cli import evaluate as eval_cli
+    from ess_tpu.cli import train as train_cli
+    train_cli.main(["--settings_file", yaml_path])
+    capsys.readouterr()
+
+    runs = sorted((tmp_path / "logs").iterdir())
+    ckpt = str(runs[-1] / "checkpoints")
+    eval_cli.main(["--settings_file", yaml_path, "--checkpoint", ckpt])
+    out = capsys.readouterr().out
+    assert "semseg_sensor_b_mean_iou" in out
