@@ -49,9 +49,9 @@ def main():
     print(f"tile_h={th} n_tiles={n_tiles} events={B*N/1e6:.1f}M")
 
     quick = "--quick" in sys.argv
-    ks = [4] if quick else [k for k in (2, 4, 5, 10) if n_tiles % k == 0]
+    ks = [5] if quick else [k for k in (2, 4, 5, 10, 20) if n_tiles % k == 0]
     chunks = [1024] if quick else [512, 1024, 2048]
-    dtypes = [jnp.bfloat16] if quick else [jnp.bfloat16, jnp.float32]
+    dtypes = [jnp.bfloat16]
 
     for oh in dtypes:
         for k in ks:
@@ -63,12 +63,17 @@ def main():
                                  layout="s2d", k_tiles=k, chunk=c))
                 out = fn(x, y, ts, pol, offsets)
                 float(out[0, 0, 0, 0])  # sync through the tunnel
-                iters = 5
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = fn(x, y, ts, pol, offsets)
+                # queued-dispatch timing: per-iteration fetches measure the
+                # tunnel RTT, not the kernel
+                iters = 8
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        out = fn(x, y, ts, pol, offsets)
                     float(out[0, 0, 0, 0])
-                dt = (time.perf_counter() - t0) / iters
+                    best = min(best, (time.perf_counter() - t0) / iters)
+                dt = best
                 name = jnp.dtype(oh).name
                 print(f"oh={name:9s} K={k:2d} CHUNK={chunk:4d}: "
                       f"{dt*1e3:8.2f} ms  ({dt/ (B*N) * 1e9:.2f} ns/event)")
