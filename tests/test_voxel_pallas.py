@@ -161,3 +161,46 @@ def test_host_tile_bin_offsets_parity(rng):
                               pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bins", [1, 2, 3, 8])
+def test_pallas_bins_variants(rng, bins):
+    """Tile geometry adapts per bin count; parity holds for each."""
+    args = list(make_soa(rng, n=400, pad_from=350))
+    g = both(args, num_bins=bins, height=24, width=256, trilinear=True)
+    assert g.shape[-1] == bins
+
+
+def test_pallas_edge_cases(rng):
+    """Empty windows, single events, and exact-boundary coordinates."""
+    h, w, bins = 24, 256, 5
+    # all invalid -> zero grid
+    x = jnp.zeros((1, 64)); y = jnp.zeros((1, 64))
+    t = jnp.zeros((1, 64)); p = jnp.ones((1, 64))
+    none_valid = jnp.zeros((1, 64), bool)
+    g = voxelize_window_soa(x, y, t, p, none_valid, num_bins=bins, height=h,
+                            width=w, trilinear=True, use_pallas=True,
+                            pallas_interpret=True)
+    assert float(jnp.abs(g).sum()) == 0.0
+
+    # single event at the far corner with t at the last bin boundary
+    x = jnp.full((1, 8), w - 1.0); y = jnp.full((1, 8), h - 1.0)
+    t = jnp.full((1, 8), 123.0); p = jnp.ones((1, 8))
+    valid = jnp.zeros((1, 8), bool).at[0, 0].set(True)
+    kw = dict(num_bins=bins, height=h, width=w, trilinear=True)
+    ref = voxelize_window_soa(x, y, t, p, valid, use_pallas=False, **kw)
+    got = voxelize_window_soa(x, y, t, p, valid, use_pallas=True,
+                              pallas_interpret=True, oh_dtype=jnp.float32,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # the whole polarity lands at the corner cell of the last bin
+    assert abs(float(got[0, h - 1, w - 1, 0]) - 1.0) < 1e-5
+
+    # out-of-frame coordinates are dropped, never wrapped
+    x = jnp.asarray([[-0.5, float(w), 3.0]]); y = jnp.asarray([[2.0, 2.0, -1.0]])
+    t = jnp.zeros((1, 3)); p = jnp.ones((1, 3))
+    valid = jnp.ones((1, 3), bool)
+    got = voxelize_window_soa(x, y, t, p, valid, use_pallas=True,
+                              pallas_interpret=True, oh_dtype=jnp.float32,
+                              **kw)
+    assert float(jnp.abs(got).sum()) == 0.0
