@@ -227,3 +227,51 @@ def test_supervised_step_packed_wire(rng):
     step = sup.make_train_step(mods, pipe)
     state2, out = step(state, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_uda_step_packed_wire(rng):
+    """The UDA train step consumes a packed-wire sensor-B batch."""
+    import dataclasses
+
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+
+    cfg = tiny_config(model_name="ess", event_name="DSEC_events")
+    h, w = 16, 128
+    cfg = cfg.replace(dataset=dataclasses.replace(
+        cfg.dataset,
+        sensor_a=dataclasses.replace(cfg.dataset.sensor_a, shape=(h, w)),
+        sensor_b=dataclasses.replace(cfg.dataset.sensor_b, shape=(h, w))))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, use_pallas=True, pallas_interpret=True))
+
+    b, t, n = 2, 2, 512
+    th = tile_h_for_bins(5)
+    ntx = w // 128
+    n_tiles = (-(-h // th)) * ntx
+    xq = rng.integers(0, w * 64, (b, t, n)).astype(np.uint16)
+    yq = rng.integers(0, h * 64, (b, t, n)).astype(np.uint16)
+    tid = (yq // 64 // th) * ntx + np.minimum(xq // 64 // 128, ntx - 1)
+    order = np.argsort(tid, axis=-1, kind="stable")
+    take = lambda a: np.take_along_axis(a, order, axis=-1)
+    xq, yq, tid = take(xq), take(yq), take(tid)
+    offs = np.stack([
+        np.searchsorted(tid[i, j], np.arange(n_tiles + 1)).astype(np.int32)
+        for i in range(b) for j in range(t)
+    ]).reshape(b, t, -1)
+    batch = {
+        "ev_xq": jnp.asarray(xq), "ev_yq": jnp.asarray(yq),
+        "ev_tq": jnp.asarray(
+            np.sort(rng.integers(0, 60001, (b, t, n)), axis=-1), jnp.uint16),
+        "ev_pq": jnp.asarray(rng.integers(0, 2, (b, t, n)), jnp.uint8),
+        "ev_tile_offsets": jnp.asarray(offs),
+        "image_a": jnp.asarray(rng.normal(size=(b, h, w, 1)), jnp.float32),
+        "label_a": jnp.asarray(rng.integers(0, 6, (b, h, w)), jnp.int32),
+    }
+    step = uda_mod.make_train_step(mods, pipe)
+    state2, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
+    assert "cycle_latent_8x_sensor_b_to_sensor_a_loss" in losses
