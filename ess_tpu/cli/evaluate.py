@@ -21,15 +21,19 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     from ess_tpu.core.config import load_config
-    from ess_tpu.cli.train import build_loaders
+    from ess_tpu.cli.train import build_loaders, load_pretrained_backbone
     from ess_tpu.io.checkpoint import CheckpointManager
     from ess_tpu.train.loop import Trainer
 
     cfg = load_config(args.settings_file)
     _, train_b, val_a, val_b, rect = build_loaders(cfg)
 
+    # the frozen E2VID backbone is NOT in training checkpoints (they skip
+    # frozen params, like the reference saver.py:50-60) — load it exactly as
+    # the train CLI does or the rollout runs on random weights
     trainer = Trainer(cfg, train_b=train_b, val_b=val_b, val_a=val_a,
-                      rectify_map=rect)
+                      rectify_map=rect,
+                      e2vid_params=load_pretrained_backbone(cfg))
     ckpt = CheckpointManager(args.checkpoint)
     trainer.state = ckpt.restore_pretrained(trainer.state, args.epoch)
     summary = trainer.validate()

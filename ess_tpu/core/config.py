@@ -279,7 +279,14 @@ def load_config(path_or_dict: str | dict) -> Config:
         train_on_event_labels=bool(_get(model_raw, "train_on_event_labels", False)),
         e2vid_num_encoders=int(_get(model_raw, "e2vid_num_encoders", 3)),
         e2vid_base_channels=int(_get(model_raw, "e2vid_base_channels", 32)),
+        e2vid_num_residual_blocks=int(
+            _get(model_raw, "e2vid_num_residual_blocks", 2)),
+        e2vid_skip_type=_get(model_raw, "e2vid_skip_type", "sum"),
+        e2vid_recurrent_block=_get(model_raw, "e2vid_recurrent_block",
+                                   "convlstm"),
+        e2vid_norm=model_raw.get("e2vid_norm") or None,
         e2vid_checkpoint=_get(model_raw, "e2vid_checkpoint", ""),
+        head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),
     )
 

@@ -50,7 +50,14 @@ class CityscapesGray:
         # (cityscapes_loader.py:35-38, :94-98)
         self.standardization = standardization
         self.resize_hw: Tuple[int, int] = (256, 512) if random_crop else (height, width)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # per-(index, pass) generators: BatchLoader maps __getitem__ over a
+        # thread pool and np.random.Generator is not thread-safe; a seeded
+        # per-call generator is safe AND reproducible regardless of thread
+        # scheduling (the n-th access of a sample always draws the same augs)
+        import threading
+        self._pass_lock = threading.Lock()
+        self._pass_count: dict = {}
 
         img_dir = os.path.join(root, "leftImg8bit", split)
         self.images: List[str] = sorted(
@@ -67,10 +74,17 @@ class CityscapesGray:
 
     # ---------------- augmentations (host, cv2) ----------------
 
-    def _augment(self, img: np.ndarray, label: np.ndarray):
+    def _rng_for(self, index: int) -> np.random.Generator:
+        with self._pass_lock:
+            n = self._pass_count.get(index, 0)
+            self._pass_count[index] = n + 1
+        return np.random.default_rng((self.seed, index, n))
+
+    def _augment(self, img: np.ndarray, label: np.ndarray, rng=None):
         import cv2
 
-        rng = self.rng
+        if rng is None:
+            rng = np.random.default_rng(self.seed)
         h, w = self.height, self.width
 
         if rng.random() < 0.5:  # HorizontalFlip
@@ -158,13 +172,13 @@ class CityscapesGray:
             img = img[: self.height]
             label = label[: self.height]
             if self.augmentation and self.split == "train":
-                img, label = self._augment(img, label)
+                img, label = self._augment(img, label, self._rng_for(idx))
             else:  # center crop to (height, width)
                 x0 = max((img.shape[1] - self.width) // 2, 0)
                 img = img[:, x0: x0 + self.width]
                 label = label[:, x0: x0 + self.width]
         elif self.augmentation and self.split == "train":
-            img, label = self._augment(img, label)
+            img, label = self._augment(img, label, self._rng_for(idx))
 
         label = labels_mod.id_to_train_id(label, self.num_classes)
         return {

@@ -122,6 +122,11 @@ class DDD17Events:
         img_idx = int(os.path.basename(mask_file).split("_")[-1].split(".")[0]) - 1
 
         label_original = cv2.imread(mask_file, 0)
+        # NB: the label is SQUEEZE-resized to 200 rows while event grids are
+        # bottom-CROPPED 260->200 — a deliberate reproduction of the
+        # reference's own geometry (ddd17_events_loader.py:120 squeezes the
+        # mask, :173 crops the tensor); checkpoint accuracy parity requires
+        # matching it, not fixing it
         label = cv2.resize(
             label_original, (RESIZED_SHAPE[1], RESIZED_SHAPE[0]),
             interpolation=cv2.INTER_NEAREST)

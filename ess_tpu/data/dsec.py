@@ -234,8 +234,12 @@ class SequenceRecurrent:
     long-horizon eval with carried ConvLSTM state.
 
     Each item is ONE window (T=1); ``is_first`` marks sequence starts where
-    the consumer must reset recurrent state. Labels attach to windows whose
-    end index aligns with a labeled timestamp (val mode).
+    the consumer must reset recurrent state. A label attaches to the window
+    CONTAINING its exposure timestamp's event index — the fixed window grid
+    cannot end-align with arbitrary label times, so the scored prediction
+    sees up to one window (~50 ms) of events past the label. (The
+    reference's fixed-count streaming branch loads no labels at all,
+    sequence_recurrent.py:214-221 — scoring here is added capability.)
     """
 
     def __init__(self, seq: DSECSequence, nr_events_window: int = 100000):

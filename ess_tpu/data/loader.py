@@ -108,7 +108,10 @@ class BatchLoader:
         return idx[self.shard_index:: self.num_shards]
 
     def __len__(self) -> int:
-        n = len(self._indices())
+        # NO _indices() here: computing the length must not advance the
+        # shuffle RNG (Trainer/PairedLoader call len() for bookkeeping and
+        # data order has to be independent of how often they do)
+        n = len(range(self.shard_index, len(self.dataset), self.num_shards))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -107,7 +107,12 @@ def _voxelize_pallas(
     from ess_tpu.ops.voxel_pallas import (
         bin_events_device, tile_h_for_bins, voxelize_tiled)
 
-    ok = valid & (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    # events with a coordinate in (-1, 0) still have one in-frame corner;
+    # the kernel deposits its correct bilinear weight (the torch reference
+    # truncates instead of flooring there, adding a spurious NEGATIVE
+    # weight at index 1 — representations.py:27-37; we keep the
+    # mathematically correct single-corner deposit, see PARITY.md)
+    ok = valid & (x > -1) & (x < width) & (y > -1) & (y < height)
     ts = (t.astype(jnp.float32) if t_prenormalized
           else _masked_time_norm(t.astype(jnp.float32), valid, num_bins))
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)

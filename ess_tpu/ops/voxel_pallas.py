@@ -70,10 +70,13 @@ def _pick_k(n_tiles: int, k_max: int) -> int:
 
 
 def tile_id(x, y, width: int, tile_h: int) -> jax.Array:
-    """Spatial tile index of an event's floor coordinate."""
+    """Spatial tile index of an event's (truncated) coordinate. Coordinates
+    in (-1, 0) truncate to 0 and land in the first tile row/col — their
+    out-of-frame corner has no representable column/row and drops, the
+    in-frame corner deposits its bilinear weight."""
     tiles_x = width // TILE_W
     tx = jnp.clip(x.astype(jnp.int32) // TILE_W, 0, tiles_x - 1)
-    ty = y.astype(jnp.int32) // tile_h
+    ty = jnp.clip(y.astype(jnp.int32) // tile_h, 0, None)
     return ty * tiles_x + tx
 
 
@@ -101,7 +104,9 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int,
                   bins: int = 5):
     """Host-side tile binning of (T, N, 4) raw windows for the kernel.
 
-    Sorts each window's VALID in-frame events by ``tile_id`` on the padded
+    Sorts each window's VALID in-frame events (coordinates in (-1, width/
+    height): border events with one in-frame corner are kept) by
+    ``tile_id`` on the padded
     (kernel-aligned) grid and returns (raw_sorted, valid_sorted, offsets)
     with offsets of shape (T, n_tiles + 1) int32. ``bins`` is the kernel's
     EFFECTIVE bin count (2*num_bins for separate_pol temporal grids) — it
@@ -132,8 +137,8 @@ def host_tile_bin(raw_windows, valid, *, height: int, width: int,
     offsets = np.zeros((t_dim, n_tiles + 1), np.int32)
     for i in range(t_dim):
         w = raw_windows[i]
-        ok = (valid[i] & (w[:, 0] >= 0) & (w[:, 0] < width)
-              & (w[:, 1] >= 0) & (w[:, 1] < height))
+        ok = (valid[i] & (w[:, 0] > -1) & (w[:, 0] < width)
+              & (w[:, 1] > -1) & (w[:, 1] < height))
         ev = w[ok]
         tx = np.clip(ev[:, 0].astype(np.int64) // TILE_W, 0, ntx - 1)
         ty = ev[:, 1].astype(np.int64) // th
@@ -278,14 +283,22 @@ def voxelize_tiled(
     y = y.astype(jnp.float32)
     ts = ts.astype(jnp.float32)
     tx = jnp.clip(jnp.floor(x).astype(jnp.int32) // TILE_W, 0, n_tiles_x - 1)
-    ty = jnp.floor(y).astype(jnp.int32) // tile_h
+    ty = jnp.clip(jnp.floor(y).astype(jnp.int32) // tile_h, 0, None)
     tid = ty * n_tiles_x + tx
     c0 = jnp.floor(ts)
     wt1 = ts - c0
+    # x in (-1, 0) needs no special care: its tent position sits one column
+    # left of the tile slot, whose only in-range neighbour is column 0 with
+    # the correct weight 1+x (the slot pad columns soak the other side).
+    # y in (-1, 0) WOULD spill into the previous time-bin's halo row, so the
+    # single in-frame row weight (1+y) folds into the scales instead.
+    yl = y - (ty * tile_h).astype(jnp.float32)
+    wy_fold = jnp.where(yl < 0, 1.0 + yl, 1.0)
+    yl = jnp.maximum(yl, 0.0)
     cx = tid.astype(jnp.float32) * COL_SLOT + (x - (tx * TILE_W).astype(jnp.float32))
-    p0 = c0 * (tile_h + 1) + (y - (ty * tile_h).astype(jnp.float32))
-    s0 = pol.astype(jnp.float32) * (1.0 - wt1)
-    s1 = pol.astype(jnp.float32) * wt1
+    p0 = c0 * (tile_h + 1) + yl
+    s0 = pol.astype(jnp.float32) * (1.0 - wt1) * wy_fold
+    s1 = pol.astype(jnp.float32) * wt1 * wy_fold
 
     # (B, n_blocks, 4, chunk): fields interleaved per block so each kernel
     # DMA is one contiguous 16*chunk-byte copy

@@ -33,9 +33,14 @@ from ess_tpu.train.builder import ESSModules, build_modules, init_state, make_pi
 from ess_tpu.train.metrics import MetricsSemseg
 
 
+def _needs_soa(b: dict) -> bool:
+    # packed-wire batches also pass through to_soa (tile_offsets rename)
+    return "raw_events" in b or "ev_xq" in b
+
+
 def _device_batches(loader, sharding=None):
     return prefetch_to_device(
-        (to_soa(b) if "raw_events" in b else b for b in loader),
+        (to_soa(b) if _needs_soa(b) else b for b in loader),
         sharding=sharding)
 
 
@@ -160,7 +165,7 @@ class Trainer:
     def _train_batches(self) -> Iterator[dict]:
         if self.is_uda:
             paired = PairedLoader(self.train_a, self.train_b)
-            it = (_merge_uda(a, to_soa(b) if "raw_events" in b else b)
+            it = (_merge_uda(a, to_soa(b) if _needs_soa(b) else b)
                   for a, b in paired)
             yield from prefetch_to_device(it, sharding=self._sharding)
         else:
@@ -201,12 +206,17 @@ class Trainer:
         if self.eval_step_a is not None and self.val_a is not None:
             m = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
                               task.class_names)
+            losses_a = []
             for batch in _device_batches(self.val_a, self._sharding):
                 out = self.eval_step_a(self.state, batch)
                 m.update_confusion(np.asarray(out["cm_a"]))
-                self.writer.averaged_scalar(
-                    "val/semseg_sensor_a_loss",
-                    float(out["semseg_sensor_a_loss"]), self.step_count)
+                losses_a.append(float(out["semseg_sensor_a_loss"]))
+            if losses_a:
+                # one mean per validation pass (averaged_scalar's 50-sample
+                # window would silently swallow small val sets and mix
+                # losses from different parameter states)
+                self.writer.scalar("val/semseg_sensor_a_loss",
+                                   float(np.mean(losses_a)), self.step_count)
             s = m.summary()
             summary["semseg_sensor_a_mean_iou"] = s["mean_iou"]
             summary["semseg_sensor_a_acc"] = s["acc"]

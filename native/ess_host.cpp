@@ -241,7 +241,10 @@ void tile_bin_f32(const float* ev, const uint8_t* valid, int64_t T, int64_t n,
     for (int64_t i = 0; i < n; ++i) {
       const float x = src[i * 4 + 0];
       const float y = src[i * 4 + 1];
-      if (!vmask[i] || x < 0.f || x >= fw || y < 0.f || y >= fh) {
+      // (-1, 0) border coords keep their single in-frame corner: the
+      // truncation below lands them in tile row/col 0, matching the
+      // device-side prep (the kernel's tent factors place the weight)
+      if (!vmask[i] || x <= -1.f || x >= fw || y <= -1.f || y >= fh) {
         tid_scratch[i] = -1;
         continue;
       }
@@ -322,7 +325,8 @@ void ingest_rectify_bin_f32(
                               static_cast<int64_t>(x[src])) * 2;
       const float rx = m[0];
       const float ry = m[1];
-      if (rx < 0.f || rx >= fw || ry < 0.f || ry >= fh) {
+      // (-1, 0) border coords keep their single in-frame corner
+      if (rx <= -1.f || rx >= fw || ry <= -1.f || ry >= fh) {
         tid_scratch[i] = -1;
         continue;
       }
@@ -408,7 +412,10 @@ void ingest_rectify_bin_packed(
                               static_cast<int64_t>(x[src])) * 2;
       const float rx = m[0];
       const float ry = m[1];
-      if (rx < 0.f || rx >= fw || ry < 0.f || ry >= fh) {
+      // (-1, 0) border coords round/clamp to 0 (the wire format cannot
+      // carry negative fixed-point values; the sub-pixel corner weight is
+      // approximated at the frame edge — documented quantization loss)
+      if (rx <= -1.f || rx >= fw || ry <= -1.f || ry >= fh) {
         tid_scratch[i] = -1;
         continue;
       }
@@ -418,6 +425,8 @@ void ingest_rectify_bin_packed(
       // kernel sees the same quantized value.
       int32_t xq = static_cast<int32_t>(rx * 64.0f + 0.5f);
       int32_t yq = static_cast<int32_t>(ry * 64.0f + 0.5f);
+      if (xq < 0) xq = 0;
+      if (yq < 0) yq = 0;
       const int32_t xq_max = static_cast<int32_t>(mw) * 64 - 1;
       const int32_t yq_max = static_cast<int32_t>(mh) * 64 - 1;
       if (xq > xq_max) xq = xq_max;

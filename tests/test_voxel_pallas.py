@@ -196,11 +196,44 @@ def test_pallas_edge_cases(rng):
     # the whole polarity lands at the corner cell of the last bin
     assert abs(float(got[0, h - 1, w - 1, 0]) - 1.0) < 1e-5
 
-    # out-of-frame coordinates are dropped, never wrapped
-    x = jnp.asarray([[-0.5, float(w), 3.0]]); y = jnp.asarray([[2.0, 2.0, -1.0]])
+    # fully out-of-frame coordinates are dropped, never wrapped
+    # (coords in (-1, 0) are BORDER events — see test_pallas_border_events)
+    x = jnp.asarray([[-1.5, float(w), 3.0]]); y = jnp.asarray([[2.0, 2.0, -1.5]])
     t = jnp.zeros((1, 3)); p = jnp.ones((1, 3))
     valid = jnp.ones((1, 3), bool)
     got = voxelize_window_soa(x, y, t, p, valid, use_pallas=True,
                               pallas_interpret=True, oh_dtype=jnp.float32,
                               **kw)
     assert float(jnp.abs(got).sum()) == 0.0
+
+
+def test_pallas_border_events(rng):
+    """Coordinates in (-1, 0) keep their single in-frame corner with the
+    correct bilinear weight (the torch reference truncates and deposits a
+    spurious negative weight at index 1 — representations.py:27-37; the
+    kernel implements the mathematically correct clamp instead; PARITY.md
+    documents the difference)."""
+    h, w, bins = 24, 256, 5
+    x = jnp.asarray([[-0.25, 10.0]])
+    y = jnp.asarray([[-0.5, -0.25]])
+    t = jnp.asarray([[0.0, 100.0]])
+    p = jnp.ones((1, 2))
+    valid = jnp.ones((1, 2), bool)
+    g = voxelize_window_soa(x, y, t, p, valid, num_bins=bins, height=h,
+                            width=w, trilinear=True, use_pallas=True,
+                            pallas_interpret=True, oh_dtype=jnp.float32)
+    # event 0 at (-0.25, -0.5), t -> bin 0: weight (1-0.25)*(1-0.5) at (0,0)
+    np.testing.assert_allclose(float(g[0, 0, 0, 0]), 0.75 * 0.5, atol=1e-5)
+    # event 1 at (10, -0.25), t -> last bin: (1-0.25) at row 0, split x 10
+    np.testing.assert_allclose(float(g[0, 0, 10, bins - 1]), 0.75, atol=1e-5)
+
+    # host binning keeps border events too
+    from ess_tpu.ops.voxel_pallas import host_tile_bin
+    raw = np.zeros((1, 2, 4), np.float32)
+    raw[0, :, 0] = [-0.25, 10.0]
+    raw[0, :, 1] = [-0.5, -0.25]
+    raw[0, :, 2] = [0.0, 100.0]
+    raw[0, :, 3] = 1.0
+    _, v, offs = host_tile_bin(raw, np.ones((1, 2), bool), height=h, width=w,
+                               bins=bins)
+    assert offs[0, -1] == 2 and v.sum() == 2
