@@ -284,7 +284,7 @@ def load_config(path_or_dict: str | dict) -> Config:
         e2vid_skip_type=_get(model_raw, "e2vid_skip_type", "sum"),
         e2vid_recurrent_block=_get(model_raw, "e2vid_recurrent_block",
                                    "convlstm"),
-        e2vid_norm=model_raw.get("e2vid_norm") or None,
+        e2vid_norm=_get(model_raw, "e2vid_norm", None) or None,
         e2vid_checkpoint=_get(model_raw, "e2vid_checkpoint", ""),
         head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),
