@@ -71,7 +71,8 @@ class EventDatasetConfig:
     semseg_label_val: bool = True
     # host->device wire format: 'f32' raw SoA windows, or 'packed' (u16
     # quantized coords in 1/64 px + per-window-normalized u16 time + u8
-    # polarity — 7 bytes/event instead of 17; DSEC fixed-count path only)
+    # polarity — 7 bytes/event instead of 17; covers both DSEC fixed-count
+    # and fixed-duration ingest)
     wire_format: str = "f32"
 
     @property
@@ -105,6 +106,9 @@ class ModelConfig:
     # conv (ops/conv_s2d.py) where legal — the 5-bin voxel head conv is MXU
     # -hostile under XLA's direct lowering. 'xla' | 's2d' force.
     head_conv_impl: str = "auto"
+    # ConvLSTM cell implementation: 'auto' resolves to the fused Pallas
+    # conv+pointwise kernel (ops/conv_lstm_pallas.py) on TPU, XLA elsewhere.
+    lstm_impl: str = "auto"
     # Numerics
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay float32
 
@@ -287,6 +291,7 @@ def load_config(path_or_dict: str | dict) -> Config:
         e2vid_norm=_get(model_raw, "e2vid_norm", None) or None,
         e2vid_checkpoint=_get(model_raw, "e2vid_checkpoint", ""),
         head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
+        lstm_impl=_get(model_raw, "lstm_impl", "auto"),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),
     )
 

@@ -80,11 +80,12 @@ class CityscapesGray:
             self._pass_count[index] = n + 1
         return np.random.default_rng((self.seed, index, n))
 
-    def _augment(self, img: np.ndarray, label: np.ndarray, rng=None):
+    def _augment(self, img: np.ndarray, label: np.ndarray, rng: np.random.Generator):
         import cv2
 
-        if rng is None:
-            rng = np.random.default_rng(self.seed)
+        if rng is None:  # a fixed fallback rng would silently repeat draws
+            raise ValueError("_augment requires a per-sample rng "
+                             "(use _rng_for(idx))")
         h, w = self.height, self.width
 
         if rng.random() < 0.5:  # HorizontalFlip

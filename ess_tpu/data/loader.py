@@ -97,6 +97,15 @@ class BatchLoader:
         # after N batches: only enable when the consumer provably finishes
         # with a batch (device_put complete, no references held) within
         # N-1 subsequent batches; prefetch depth + in-flight H2D must fit.
+        if collate_buffers:
+            # prefetch_to_device(size=d) holds d device-bound batches plus
+            # one mid-transfer, so a recycled buffer may still be read until
+            # d+1 batches later. d defaults to 2 => minimum safe ring is 4.
+            assert collate_buffers >= 4, (
+                "collate_buffers ring too shallow: a buffer is rewritten "
+                "after N batches while prefetch keeps size+1 batches in "
+                "flight; use N >= prefetch_size + 2 (>= 4 for the default "
+                "prefetch_to_device(size=2)) or 0 for fresh allocations")
         self.collate_buffers = collate_buffers
         self._ring: list = []
         self._ring_i = 0
@@ -166,6 +175,10 @@ def prefetch_to_device(iterator, *, size: int = 2, sharding=None):
     Wraps any batch iterator: a background thread moves the next ``size``
     batches to the device (optionally with a NamedSharding for DP) while the
     TPU computes on the current one.
+
+    When the source is a ``BatchLoader(collate_buffers=N)`` ring, N must be
+    at least ``size + 2``: up to ``size`` queued batches plus one
+    mid-``device_put`` may still be reading their host buffers.
     """
     import jax
 

@@ -92,6 +92,9 @@ class RecurrentUNet(nn.Module):
     # to the space-to-depth block conv (ops/conv_s2d.py: exact same math,
     # contraction 180 / 128 output lanes) when stride 1, k=5 and even H/W.
     head_conv_impl: str = "auto"
+    # ConvLSTM cell implementation: 'xla' | 'pallas' | 'pallas_interpret'
+    # (ops/conv_lstm_pallas.py fused kernel; resolved from cfg by the builder)
+    lstm_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,7 +149,8 @@ class RecurrentUNet(nn.Module):
             h, st = RecurrentConvLayer(
                 features, kernel_size=5, strides=2,
                 recurrent_block=self.recurrent_block, norm=self.norm,
-                dtype=self.dtype, name=f"encoder_{i}",
+                lstm_impl=self.lstm_impl, dtype=self.dtype,
+                name=f"encoder_{i}",
             )(h, states[i], train=train,
               block_space=block_input and i == 0)
             blocks.append(h)

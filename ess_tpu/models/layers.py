@@ -304,20 +304,52 @@ class ResidualBlock(nn.Module):
 LSTMState = Tuple[jax.Array, jax.Array]  # (hidden, cell), NHWC each
 
 
+class _GateParams(nn.Module):
+    """Bare (kernel, bias) params shaped/named exactly like nn.Conv's, so
+    checkpoints interchange between the XLA and Pallas ConvLSTM paths."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ConvLSTMCell(nn.Module):
     """Convolutional LSTM cell (submodules.py:175-230).
 
     One fused gates conv: concat([x, h]) -> 4*hidden channels, split into
     (input, forget, output, candidate) gates.
+
+    ``impl``: 'xla' (nn.Conv + fused pointwise), or 'pallas' /
+    'pallas_interpret' for the fused single-kernel cell
+    (ops/conv_lstm_pallas.py) — identical params, f32 gate accumulation,
+    no gates round-trip through HBM.
     """
 
     hidden: int
     kernel_size: int = 3
+    impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, state: LSTMState) -> Tuple[jax.Array, LSTMState]:
         h_prev, c_prev = state
+        if self.impl != "xla":
+            from ess_tpu.ops.conv_lstm_pallas import conv_lstm_cell
+            kernel, bias = _GateParams(
+                4 * self.hidden, self.kernel_size,
+                x.shape[-1] + self.hidden, name="gates")()
+            h, c = conv_lstm_cell(
+                x.astype(self.dtype), h_prev.astype(self.dtype),
+                c_prev.astype(self.dtype), kernel, bias, impl=self.impl)
+            return h, (h, c)
         gates = nn.Conv(
             4 * self.hidden,
             (self.kernel_size, self.kernel_size),
@@ -367,6 +399,7 @@ class RecurrentConvLayer(nn.Module):
     strides: int = 2
     recurrent_block: str = "convlstm"  # 'convlstm' | 'convgru'
     norm: Optional[str] = None
+    lstm_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -377,7 +410,8 @@ class RecurrentConvLayer(nn.Module):
             activation="relu", norm=self.norm, dtype=self.dtype, name="conv",
         )(x, train=train, block_space=block_space)
         if self.recurrent_block == "convlstm":
-            cell = ConvLSTMCell(self.features, dtype=self.dtype, name="rnn")
+            cell = ConvLSTMCell(self.features, impl=self.lstm_impl,
+                                dtype=self.dtype, name="rnn")
         else:
             cell = ConvGRUCell(self.features, dtype=self.dtype, name="rnn")
         out, new_state = cell(x, state)

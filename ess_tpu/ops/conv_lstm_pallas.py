@@ -1,0 +1,259 @@
+"""Fused ConvLSTM cell: 3x3 gate conv + LSTM pointwise in one Pallas kernel.
+
+Capability parity: the ConvLSTM recurrence of the reference's E2VID encoders
+(/root/reference/e2vid/model/submodules.py:175-230) — one conv over
+concat([x, h]) producing 4*hidden gate channels (i, f, o, g order), then
+c' = sigmoid(f)*c + sigmoid(i)*tanh(g); h' = sigmoid(o)*tanh(c').
+
+Why a kernel: on v5e the XLA pipeline materializes the gates tensor (4*hidden
+channels — the largest intermediate of the recurrent rollout) in HBM between
+the conv and the pointwise fusion. Per DSEC timestep that is ~0.5 GB of HBM
+write+read that carries no information the kernel can't keep in VMEM. The
+measured cost (round-2 xplane, CLAUDE.md): gate convs 98 ms + pointwise
+~45 ms of a 321 ms supervised step. This kernel computes the conv as MXU
+matmuls and applies the LSTM update in-register, writing only (h', c').
+
+Kernel design (per grid cell = one batch element x one row-tile):
+- Inputs arrive as non-overlapping BlockSpec row-tiles plus a tiny
+  XLA-precomputed "halo rows" array (rows r0-1 / r0+TH per tile, zeros at
+  the image edges): every tile is uniform — no manual DMA, no edge
+  predication, automatic double-buffering, and no HBM-slice lane-alignment
+  constraints for the 64-channel first encoder.
+- Build the FULL im2row buffer F (TH, W, 9*CIN): output pixel (t, w)'s
+  K-row concatenates all nine (dy, dx) taps of concat(x, h). The whole 3x3
+  conv is then ONE deep matmul (M = TH*W rows, K = 9*CIN =
+  1152/2304/4608 for the E2VID encoders) — the f32 accumulator is produced
+  exactly once by the MXU. A 3-dot flat-shift variant was measured first:
+  its per-tap f32 partial products and operand relayouts made it
+  VMEM-bandwidth-bound (~3x off roofline).
+- The LSTM pointwise (f32) runs on the accumulator while it is still in
+  VMEM; only h' and c' are stored.
+
+The reference XLA implementation (`conv_lstm_ref`) is used as the
+backward-pass recompute (jax.custom_vjp): the production ESS steps never
+differentiate through the frozen E2VID rollout (train/supervised.py,
+train/uda.py stop-gradient the rollout outputs), so the hot path is
+forward-only; gradients remain available for generic use at XLA speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pick_row_tile(height: int, lo: int = 2, hi: int = 16) -> Optional[int]:
+    """Largest-priority divisor of `height` closest to 8 within [lo, hi]."""
+    cands = [t for t in range(lo, hi + 1) if height % t == 0]
+    if not cands:
+        return None
+    return min(cands, key=lambda t: (abs(t - 8), -t))
+
+
+def prepare_gate_weights(kernel: jax.Array, dtype) -> jax.Array:
+    """(3, 3, CIN, 4*CH) conv kernel -> (9*CIN, 4*CH) im2row tap matrix.
+
+    Row-major (dy, dx, cin) ordering matches the kernel's im2row buffer
+    block layout (block k = dy*3 + dx).
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert kh == 3 and kw == 3, "fused ConvLSTM supports 3x3 gate convs"
+    return kernel.reshape(9 * cin, cout).astype(dtype)
+
+
+def conv_lstm_ref(
+    x: jax.Array, h_prev: jax.Array, c_prev: jax.Array,
+    kernel: jax.Array, bias: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pure-XLA ConvLSTM cell with f32 gate accumulation (parity + vjp)."""
+    xh = jnp.concatenate([x, h_prev.astype(x.dtype)], axis=-1)
+    gates = jax.lax.conv_general_dilated(
+        xh, kernel.astype(x.dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    i, f, o, g = jnp.split(gates, 4, axis=-1)
+    cp = c_prev.astype(jnp.float32)
+    c_new = jax.nn.sigmoid(f) * cp + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new.astype(x.dtype), c_new.astype(c_prev.dtype)
+
+
+def _fused_kernel(TH, W, WP, CX, CH,
+                  x_blk, xh_blk, h_blk, hh_blk, c_blk, w_ref, b_ref,
+                  hout_ref, cout_ref, V, F):
+    CIN = CX + CH
+
+    # V = rows r0-1 .. r0+TH of concat(x, h): the halo-extended input tile.
+    # Out-of-tile rows come from the XLA-precomputed halo-rows arrays
+    # (zeros at the image edges) so every tile is uniform: no DMA, no edge
+    # predication, and Mosaic double-buffers all operands.
+    V[0:1, :, 0:CX] = xh_blk[0, 0, 0:1]
+    V[1:TH + 1, :, 0:CX] = x_blk[0]
+    V[TH + 1:TH + 2, :, 0:CX] = xh_blk[0, 0, 1:2]
+    V[0:1, :, CX:CIN] = hh_blk[0, 0, 0:1]
+    V[1:TH + 1, :, CX:CIN] = h_blk[0]
+    V[TH + 1:TH + 2, :, CX:CIN] = hh_blk[0, 0, 1:2]
+    Vv = V[:]
+
+    # Full im2row: output pixel (t, w)'s K-row concatenates all nine taps
+    # (dy, dx), so the whole conv is ONE deep matmul — the f32 accumulator
+    # is produced exactly once by the MXU (no per-tap partial-product
+    # round-trips through VMEM, which dominated the 3-dot variant).
+    for dy in range(3):
+        rows = Vv[dy:dy + TH]                      # (TH, W, CIN)
+        for dx in range(3):
+            cs = slice((dy * 3 + dx) * CIN, (dy * 3 + dx + 1) * CIN)
+            if dx == 0:
+                F[:, 0:1, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+                F[:, 1:W, cs] = rows[:, 0:W - 1]
+            elif dx == 1:
+                F[:, 0:W, cs] = rows
+            else:
+                F[:, 0:W - 1, cs] = rows[:, 1:W]
+                F[:, W - 1:W, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+
+    acc = jax.lax.dot_general(
+        F[:].reshape(TH * WP, 9 * CIN), w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    gates = acc.reshape(TH, WP, 4 * CH)[:, :W, :] + b_ref[0]
+    i = gates[..., 0 * CH:1 * CH]
+    f = gates[..., 1 * CH:2 * CH]
+    o = gates[..., 2 * CH:3 * CH]
+    g = gates[..., 3 * CH:4 * CH]
+    cp = c_blk[0].astype(jnp.float32)
+    c_new = jax.nn.sigmoid(f) * cp + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    hout_ref[0] = h_new.astype(hout_ref.dtype)
+    cout_ref[0] = c_new.astype(cout_ref.dtype)
+
+
+def _halo_rows(a: jax.Array, th: int) -> jax.Array:
+    """(B, H, W, C) -> (B, NT, 2, W, C): rows r0-1 and r0+TH per row-tile,
+    zeros at the image edges (the conv's zero padding)."""
+    B, H, W, C = a.shape
+    NT = H // th
+    # slice via the free (B, NT, th, W, C) view: a strided slice here was
+    # measured to lower to full-array relayout copies (~0.2 ms/call on the
+    # first DSEC encoder), the tiled view to narrow row copies.
+    v = a.reshape(B, NT, th, W, C)
+    halo = jnp.zeros((B, NT, 2, W, C), a.dtype)
+    if NT > 1:
+        halo = halo.at[:, 1:, 0].set(v[:, :-1, th - 1])   # rows r0-1, it>=1
+        halo = halo.at[:, :-1, 1].set(v[:, 1:, 0])        # rows r0+TH
+    return halo
+
+
+def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret):
+    B, H, W, CX = x.shape
+    CH = h_prev.shape[-1]
+    CIN = CX + CH
+    NT = H // th
+    assert H % th == 0
+    WP = _round_up(W, 16)  # bf16 sublane tile: flat reshape stays layout-free
+
+    wcat = prepare_gate_weights(kernel, x.dtype)
+    b2 = bias.reshape(1, -1).astype(jnp.float32)
+    h_prev = h_prev.astype(x.dtype)
+    xhalo = _halo_rows(x, th)
+    hhalo = _halo_rows(h_prev, th)
+
+    kern = functools.partial(_fused_kernel, th, W, WP, CX, CH)
+    blk = lambda c: pl.BlockSpec(
+        (1, th, W, c), lambda b, it: (b, it, 0, 0), memory_space=pltpu.VMEM)
+    halo_blk = lambda c: pl.BlockSpec(
+        (1, 1, 2, W, c), lambda b, it: (b, it, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    h_new, c_new = pl.pallas_call(
+        kern,
+        grid=(B, NT),
+        in_specs=[
+            blk(CX),                                # x
+            halo_blk(CX),                           # x halo rows
+            blk(CH),                                # h
+            halo_blk(CH),                           # h halo rows
+            blk(CH),                                # c_prev
+            pl.BlockSpec((9 * CIN, 4 * CH), lambda b, it: (0, 0),
+                         memory_space=pltpu.VMEM),  # im2row weights
+            pl.BlockSpec((1, 4 * CH), lambda b, it: (0, 0),
+                         memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=(blk(CH), blk(CH)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, CH), x.dtype),
+            jax.ShapeDtypeStruct((B, H, W, CH), c_prev.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, W, CIN), x.dtype),      # V
+            pltpu.VMEM((th, WP, 9 * CIN), x.dtype),     # im2row buffer
+        ],
+        # h/c update in place: the scan carry stays in its buffer (XLA was
+        # inserting two full-tensor copies per step around the custom call)
+        input_output_aliases={2: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, xhalo, h_prev, hhalo, c_prev, wcat, b2)
+    return h_new, c_new
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(th: int, interpret: bool):
+    @jax.custom_vjp
+    def fused(x, h_prev, c_prev, kernel, bias):
+        return _pallas_forward(x, h_prev, c_prev, kernel, bias,
+                               th=th, interpret=interpret)
+
+    def fwd(x, h_prev, c_prev, kernel, bias):
+        return fused(x, h_prev, c_prev, kernel, bias), (
+            x, h_prev, c_prev, kernel, bias)
+
+    def bwd(res, cts):
+        # Recompute-backward through the XLA reference cell: the fused
+        # forward is only ever used under stop_gradient in production, so
+        # this path exists for generic correctness, not speed.
+        _, vjp = jax.vjp(conv_lstm_ref, *res)
+        return vjp(cts)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def resolve_lstm_impl(requested: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'xla' elsewhere; validates explicit names."""
+    if requested not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown lstm_impl {requested!r}")
+    if requested == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return requested
+
+
+def conv_lstm_cell(
+    x: jax.Array, h_prev: jax.Array, c_prev: jax.Array,
+    kernel: jax.Array, bias: jax.Array, *, impl: str = "xla",
+) -> Tuple[jax.Array, jax.Array]:
+    """ConvLSTM cell update; `impl` in {'xla', 'pallas', 'pallas_interpret'}.
+
+    Falls back to the XLA cell when the geometry doesn't tile (non-3x3
+    kernel, or no row-tile divides H).
+    """
+    if impl.startswith("pallas") and kernel.shape[:2] == (3, 3):
+        th = pick_row_tile(x.shape[1])
+        if th is not None:
+            return _make_fused(th, impl == "pallas_interpret")(
+                x, h_prev, c_prev, kernel, bias)
+    return conv_lstm_ref(x, h_prev, c_prev, kernel, bias)

@@ -44,6 +44,8 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     dtype = _dtype(cfg)
     m = cfg.model
 
+    from ess_tpu.ops.conv_lstm_pallas import resolve_lstm_impl
+
     e2vid = RecurrentUNet(
         base_channels=m.e2vid_base_channels,
         num_encoders=m.e2vid_num_encoders,
@@ -52,6 +54,7 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         recurrent_block=m.e2vid_recurrent_block,
         norm=m.e2vid_norm,
         head_conv_impl=m.head_conv_impl,
+        lstm_impl=resolve_lstm_impl(m.lstm_impl),
         dtype=dtype,
     )
 

@@ -402,6 +402,13 @@ void ingest_rectify_bin_packed(
 
     std::memset(counts, 0, sizeof(int64_t) * n_tiles);
     int64_t kept = 0;
+    // Time normalization spans the window's RAW first/last timestamps, even
+    // when those extremal events are dropped as out-of-frame below. This
+    // matches the torch reference (DSEC/dataset/representations.py:30-32
+    // normalizes before any spatial filtering); the f32 wire's on-device
+    // _masked_time_norm instead normalizes over kept events only — a
+    // documented divergence absorbed by the packed-vs-f32 parity test
+    // tolerance (tests/test_datasets_integration.py).
     const int64_t t0 = n > 0 ? t[s] : 0;
     const int64_t t1 = n > 0 ? t[e - 1] : 0;
     const float tscale = t1 > t0 ? 60000.0f / static_cast<float>(t1 - t0)
