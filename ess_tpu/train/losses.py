@@ -81,6 +81,37 @@ def task_loss(
     (B, 440, 640, C) logits versus calling the two losses independently.
     """
     if set(losses) >= {"dice", "cross_entropy"}:
+        # Large 4-D logits take the class-on-sublane path: an NHWC tensor
+        # with a tiny class dim is lane-padded C -> 128 on TPU, so every
+        # softmax/mask pass costs ~128/C times its information content
+        # (measured ~19 ms of a 321 ms DSEC step). One transpose to (C, N)
+        # makes the class dim a (padded-to-16) sublane axis and all loss
+        # math compact. Same f32 math either way.
+        if logits.ndim == 4 and logits.shape[-1] <= 32 and (
+                logits.shape[0] * logits.shape[1] * logits.shape[2] >= 1 << 20):
+            c = logits.shape[-1]
+            lt = jnp.transpose(
+                logits.reshape(-1, c)).astype(jnp.float32)     # (C, N)
+            lab = labels.reshape(1, -1).astype(jnp.int32)
+            valid = lab != ignore_label
+            safe_labels = jnp.where(valid, lab, 0)
+            log_probs = jax.nn.log_softmax(lt, axis=0)
+            cls = jax.lax.broadcasted_iota(jnp.int32, lt.shape, 0)
+            label_mask = cls == safe_labels
+            picked = jnp.sum(jnp.where(label_mask, log_probs, 0.0), axis=0,
+                             keepdims=True)
+            nll = jnp.where(valid, -picked, 0.0)
+            ce = jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+            probs = jnp.exp(log_probs) * valid
+            one_hot = (label_mask & valid).astype(jnp.float32)
+            smooth = 1.0
+            num = 2.0 * jnp.sum(probs * one_hot, axis=1) + smooth
+            den = (jnp.sum(probs * probs, axis=1)
+                   + jnp.sum(one_hot, axis=1) + smooth)
+            dice = jnp.mean(1.0 - num / den)
+            return ce + dice
+
         # loss math in f32 regardless of the (possibly bf16) logits dtype —
         # the upcast fuses into the softmax pass instead of materializing a
         # full-resolution f32 logits tensor upstream
