@@ -42,6 +42,53 @@ def activation_fn(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
     return _ACTIVATIONS[name]
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-stat semantics.
+
+    torch `_BatchNorm` normalizes with the biased batch variance but updates
+    ``running_var`` with the UNBIASED one (factor n/(n-1), n = batch*spatial
+    count); flax ``nn.BatchNorm`` uses the biased variance for both. The
+    difference is negligible at production spatial sizes but is a systematic
+    ~n/(n-1) drift on converted-checkpoint training trajectories (caught by
+    tests/test_trajectory_parity.py at n=48). Parameter / batch_stats
+    naming matches nn.BatchNorm ('scale', 'bias' / 'mean', 'var'), so
+    checkpoints interchange.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
 def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:
     """Per-sample, per-channel normalization over spatial dims (no affine).
 
@@ -192,7 +239,7 @@ class ConvLayer(nn.Module):
                 dtype=self.dtype,
             )(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(x)
         elif self.norm == "IN":
             x = instance_norm(x)
@@ -219,7 +266,7 @@ class TransposedConvLayer(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(x)
         elif self.norm == "IN":
             x = instance_norm(x)
@@ -262,7 +309,7 @@ class UpsampleConvLayer(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(x)
         elif self.norm == "IN":
             x = instance_norm(x)
@@ -282,7 +329,7 @@ class ResidualBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding="SAME",
                     use_bias=self.norm != "BN", dtype=self.dtype)(x)
         if self.norm == "BN":
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(y)
         elif self.norm == "IN":
             y = instance_norm(y)
@@ -290,7 +337,7 @@ class ResidualBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding="SAME",
                     use_bias=self.norm != "BN", dtype=self.dtype)(y)
         if self.norm == "BN":
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            y = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype)(y)
         elif self.norm == "IN":
             y = instance_norm(y)

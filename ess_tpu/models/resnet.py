@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ess_tpu.models.layers import TorchBatchNorm
+
 Dtype = Any
 
 
@@ -38,19 +40,19 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if needs_proj:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, dtype=self.dtype,
                                name="proj_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            residual = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, dtype=self.dtype,
                                     name="proj_bn")(residual)
         return nn.relu(y + residual)
@@ -77,7 +79,7 @@ class ResNet18Encoder(nn.Module):
         h = x.astype(self.dtype)
         h = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="stem_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(h)
         h = nn.relu(h)
         # layer1: 2 blocks @ base_width, stride 1 (scale 2)

@@ -89,26 +89,44 @@ def conv_lstm_ref(
     return h_new.astype(x.dtype), c_new.astype(c_prev.dtype)
 
 
-def _fused_kernel(TH, W, WP, CX, CH,
-                  x_blk, xh_blk, h_blk, hh_blk, c_blk, w_ref, b_ref,
-                  hout_ref, cout_ref, V, F):
+def _fused_kernel(TH, W, WP, CX, CH, int8,
+                  x_blk, xh_blk, h_blk, hh_blk, c_blk, w_ref, sb_ref,
+                  sx_ref, hout_ref, cout_ref, V, F):
     CIN = CX + CH
+
+    if int8:
+        # x: dynamic per-call absmax scale (inv passed via SMEM); h: the
+        # ConvLSTM hidden is tanh*sigmoid-bounded in (-1, 1), so its scale
+        # is the static 1/127 — no reduce needed. Both scales are folded
+        # into the per-call weight requantization (XLA side), so the i32
+        # accumulator dequantizes with one per-output-channel multiply.
+        inv_sx = sx_ref[0, 0]
+
+        def quant_x(v):
+            return jnp.clip(jnp.round(v.astype(jnp.float32) * inv_sx),
+                            -127, 127).astype(jnp.int8)
+
+        def quant_h(v):
+            return jnp.clip(jnp.round(v.astype(jnp.float32) * 127.0),
+                            -127, 127).astype(jnp.int8)
+    else:
+        quant_x = quant_h = lambda v: v
 
     # V = rows r0-1 .. r0+TH of concat(x, h): the halo-extended input tile.
     # Out-of-tile rows come from the XLA-precomputed halo-rows arrays
     # (zeros at the image edges) so every tile is uniform: no DMA, no edge
     # predication, and Mosaic double-buffers all operands.
-    V[0:1, :, 0:CX] = xh_blk[0, 0, 0:1]
-    V[1:TH + 1, :, 0:CX] = x_blk[0]
-    V[TH + 1:TH + 2, :, 0:CX] = xh_blk[0, 0, 1:2]
-    V[0:1, :, CX:CIN] = hh_blk[0, 0, 0:1]
-    V[1:TH + 1, :, CX:CIN] = h_blk[0]
-    V[TH + 1:TH + 2, :, CX:CIN] = hh_blk[0, 0, 1:2]
+    V[0:1, :, 0:CX] = quant_x(xh_blk[0, 0, 0:1])
+    V[1:TH + 1, :, 0:CX] = quant_x(x_blk[0])
+    V[TH + 1:TH + 2, :, 0:CX] = quant_x(xh_blk[0, 0, 1:2])
+    V[0:1, :, CX:CIN] = quant_h(hh_blk[0, 0, 0:1])
+    V[1:TH + 1, :, CX:CIN] = quant_h(h_blk[0])
+    V[TH + 1:TH + 2, :, CX:CIN] = quant_h(hh_blk[0, 0, 1:2])
     Vv = V[:]
 
     # Full im2row: output pixel (t, w)'s K-row concatenates all nine taps
-    # (dy, dx), so the whole conv is ONE deep matmul — the f32 accumulator
-    # is produced exactly once by the MXU (no per-tap partial-product
+    # (dy, dx), so the whole conv is ONE deep matmul — the accumulator is
+    # produced exactly once by the MXU (no per-tap partial-product
     # round-trips through VMEM, which dominated the 3-dot variant).
     for dy in range(3):
         rows = Vv[dy:dy + TH]                      # (TH, W, CIN)
@@ -126,10 +144,13 @@ def _fused_kernel(TH, W, WP, CX, CH,
     acc = jax.lax.dot_general(
         F[:].reshape(TH * WP, 9 * CIN), w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if int8 else jnp.float32,
     )
 
-    gates = acc.reshape(TH, WP, 4 * CH)[:, :W, :] + b_ref[0]
+    # sb_ref row 0 = per-output-channel dequant scale (ones for bf16),
+    # row 1 = conv bias.
+    gates = (acc.astype(jnp.float32).reshape(TH, WP, 4 * CH)[:, :W, :]
+             * sb_ref[0] + sb_ref[1])
     i = gates[..., 0 * CH:1 * CH]
     f = gates[..., 1 * CH:2 * CH]
     o = gates[..., 2 * CH:3 * CH]
@@ -139,6 +160,21 @@ def _fused_kernel(TH, W, WP, CX, CH,
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
     hout_ref[0] = h_new.astype(hout_ref.dtype)
     cout_ref[0] = c_new.astype(cout_ref.dtype)
+
+
+def quantize_gate_weights(kernel: jax.Array, s_x: jax.Array,
+                          cx: int, ch: int):
+    """Fold the (dynamic) input scales into the im2row tap matrix and
+    quantize per output channel: W~[k,n] = W[k,n]*s_src(k) with s_src = s_x
+    for x rows and 1/127 for h rows, then W~ ~= wq * ws[n] (int8, f32)."""
+    w2 = prepare_gate_weights(kernel, jnp.float32)          # (9*CIN, 4*CH)
+    is_x = jnp.tile(jnp.concatenate(
+        [jnp.ones((cx,), bool), jnp.zeros((ch,), bool)]), 9)
+    row_scale = jnp.where(is_x, s_x, 1.0 / 127.0)
+    wfold = w2 * row_scale[:, None]
+    ws = jnp.maximum(jnp.max(jnp.abs(wfold), axis=0), 1e-20) / 127.0
+    wq = jnp.clip(jnp.round(wfold / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
 
 
 def _halo_rows(a: jax.Array, th: int) -> jax.Array:
@@ -157,21 +193,33 @@ def _halo_rows(a: jax.Array, th: int) -> jax.Array:
     return halo
 
 
-def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret):
+def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret,
+                    int8=False):
     B, H, W, CX = x.shape
     CH = h_prev.shape[-1]
     CIN = CX + CH
     NT = H // th
     assert H % th == 0
-    WP = _round_up(W, 16)  # bf16 sublane tile: flat reshape stays layout-free
+    # sublane tile (16 bf16 / 32 int8): the flat reshape stays layout-free
+    WP = _round_up(W, 32 if int8 else 16)
 
-    wcat = prepare_gate_weights(kernel, x.dtype)
-    b2 = bias.reshape(1, -1).astype(jnp.float32)
     h_prev = h_prev.astype(x.dtype)
     xhalo = _halo_rows(x, th)
     hhalo = _halo_rows(h_prev, th)
+    if int8:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                          1e-8) / 127.0
+        wcat, ws = quantize_gate_weights(kernel, s_x, CX, CH)
+        sx2 = (1.0 / s_x).reshape(1, 1)
+        buf_dtype = jnp.int8
+    else:
+        wcat = prepare_gate_weights(kernel, x.dtype)
+        ws = jnp.ones((4 * CH,), jnp.float32)
+        sx2 = jnp.ones((1, 1), jnp.float32)
+        buf_dtype = x.dtype
+    sb = jnp.stack([ws, bias.astype(jnp.float32)])           # (2, 4*CH)
 
-    kern = functools.partial(_fused_kernel, th, W, WP, CX, CH)
+    kern = functools.partial(_fused_kernel, th, W, WP, CX, CH, int8)
     blk = lambda c: pl.BlockSpec(
         (1, th, W, c), lambda b, it: (b, it, 0, 0), memory_space=pltpu.VMEM)
     halo_blk = lambda c: pl.BlockSpec(
@@ -188,8 +236,10 @@ def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret):
             blk(CH),                                # c_prev
             pl.BlockSpec((9 * CIN, 4 * CH), lambda b, it: (0, 0),
                          memory_space=pltpu.VMEM),  # im2row weights
-            pl.BlockSpec((1, 4 * CH), lambda b, it: (0, 0),
-                         memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((2, 4 * CH), lambda b, it: (0, 0),
+                         memory_space=pltpu.VMEM),  # dequant scale + bias
+            pl.BlockSpec((1, 1), lambda b, it: (0, 0),
+                         memory_space=pltpu.SMEM),  # 1/s_x
         ],
         out_specs=(blk(CH), blk(CH)),
         out_shape=(
@@ -197,8 +247,8 @@ def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret):
             jax.ShapeDtypeStruct((B, H, W, CH), c_prev.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, W, CIN), x.dtype),      # V
-            pltpu.VMEM((th, WP, 9 * CIN), x.dtype),     # im2row buffer
+            pltpu.VMEM((th + 2, W, CIN), buf_dtype),      # V
+            pltpu.VMEM((th, WP, 9 * CIN), buf_dtype),     # im2row buffer
         ],
         # h/c update in place: the scan carry stays in its buffer (XLA was
         # inserting two full-tensor copies per step around the custom call)
@@ -207,16 +257,16 @@ def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, xhalo, h_prev, hhalo, c_prev, wcat, b2)
+    )(x, xhalo, h_prev, hhalo, c_prev, wcat, sb, sx2)
     return h_new, c_new
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(th: int, interpret: bool):
+def _make_fused(th: int, interpret: bool, int8: bool = False):
     @jax.custom_vjp
     def fused(x, h_prev, c_prev, kernel, bias):
         return _pallas_forward(x, h_prev, c_prev, kernel, bias,
-                               th=th, interpret=interpret)
+                               th=th, interpret=interpret, int8=int8)
 
     def fwd(x, h_prev, c_prev, kernel, bias):
         return fused(x, h_prev, c_prev, kernel, bias), (
@@ -233,9 +283,13 @@ def _make_fused(th: int, interpret: bool):
     return fused
 
 
+_IMPLS = ("auto", "xla", "pallas", "pallas_interpret",
+          "pallas_int8", "pallas_int8_interpret")
+
+
 def resolve_lstm_impl(requested: str) -> str:
     """'auto' -> 'pallas' on TPU, 'xla' elsewhere; validates explicit names."""
-    if requested not in ("auto", "xla", "pallas", "pallas_interpret"):
+    if requested not in _IMPLS:
         raise ValueError(f"unknown lstm_impl {requested!r}")
     if requested == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -246,14 +300,21 @@ def conv_lstm_cell(
     x: jax.Array, h_prev: jax.Array, c_prev: jax.Array,
     kernel: jax.Array, bias: jax.Array, *, impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
-    """ConvLSTM cell update; `impl` in {'xla', 'pallas', 'pallas_interpret'}.
+    """ConvLSTM cell update; `impl` in {'xla', 'pallas', 'pallas_int8'}
+    (+ '_interpret' suffixed variants for CPU tests of the kernel path).
 
+    'pallas_int8' runs the gate matmul on the double-rate int8 MXU path
+    (per-call absmax quantization of x, static 1/127 scale for the bounded
+    hidden state, per-output-channel weight scales) — a lossy opt-in for
+    the frozen-backbone training rollout; see tests for the error bound.
     Falls back to the XLA cell when the geometry doesn't tile (non-3x3
     kernel, or no row-tile divides H).
     """
-    if impl.startswith("pallas") and kernel.shape[:2] == (3, 3):
+    if impl != "xla" and kernel.shape[:2] == (3, 3):
         th = pick_row_tile(x.shape[1])
         if th is not None:
-            return _make_fused(th, impl == "pallas_interpret")(
+            base = impl.removesuffix("_interpret")
+            return _make_fused(th, impl.endswith("_interpret"),
+                               base == "pallas_int8")(
                 x, h_prev, c_prev, kernel, bias)
     return conv_lstm_ref(x, h_prev, c_prev, kernel, bias)

@@ -136,3 +136,51 @@ def test_fallback_on_untileable_height():
                                 impl="pallas_interpret")
     h_rf, c_rf = conv_lstm_ref(x, hp, cp, kern, bias)
     np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_rf), atol=1e-6)
+
+
+def test_int8_variant_error_bound():
+    """The int8 cell is lossy by design; its output must stay within a
+    small bound of the f32 reference on realistic magnitudes (x ~ relu
+    activations, h bounded, c ~ unit)."""
+    r = jax.random.PRNGKey(11)
+    ks = jax.random.split(r, 5)
+    b, h, w, c = 2, 12, 20, 16
+    x = jax.nn.relu(jax.random.normal(ks[0], (b, h, w, c)) * 2.0)
+    hp = jnp.tanh(jax.random.normal(ks[1], (b, h, w, c)))
+    cp = jax.random.normal(ks[2], (b, h, w, c))
+    kern = jax.random.normal(ks[3], (3, 3, 2 * c, 4 * c)) * (1 / np.sqrt(18 * c))
+    bias = jax.random.normal(ks[4], (4 * c,)) * 0.05
+
+    h_ref, c_ref = conv_lstm_ref(x, hp, cp, kern, bias)
+    h_q, c_q = conv_lstm_cell(x, hp, cp, kern, bias,
+                              impl="pallas_int8_interpret")
+    dh = np.abs(np.asarray(h_q) - np.asarray(h_ref))
+    dc = np.abs(np.asarray(c_q) - np.asarray(c_ref))
+    # h is post-sigmoid*tanh (range ~(-1,1)): measured worst case ~0.039
+    # with mean ~100x smaller — the documented cost of the double-rate
+    # int8 MXU path (opt-in, frozen-forward rollout only)
+    assert dh.max() < 0.05, dh.max()
+    assert dh.mean() < 2e-3, dh.mean()
+    assert dc.max() < 0.08, dc.max()
+
+
+def test_int8_20_step_rollout_drift():
+    """Carried-state drift over a 20-step recurrence stays bounded (the
+    production rollout length)."""
+    r = jax.random.PRNGKey(13)
+    ks = jax.random.split(r, 4)
+    b, h, w, c = 1, 10, 16, 8
+    xs = jax.nn.relu(jax.random.normal(ks[0], (20, b, h, w, c)) * 1.5)
+    kern = jax.random.normal(ks[1], (3, 3, 2 * c, 4 * c)) * (1 / np.sqrt(18 * c))
+    bias = jax.random.normal(ks[2], (4 * c,)) * 0.05
+    hp = jnp.zeros((b, h, w, c))
+    cp = jnp.zeros((b, h, w, c))
+
+    hr, cr = hp, cp
+    hq, cq = hp, cp
+    for t in range(20):
+        hr, cr = conv_lstm_ref(xs[t], hr, cr, kern, bias)
+        hq, cq = conv_lstm_cell(xs[t], hq, cq, kern, bias,
+                                impl="pallas_int8_interpret")
+    dh = np.max(np.abs(np.asarray(hq) - np.asarray(hr)))
+    assert dh < 0.06, dh

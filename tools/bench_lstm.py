@@ -44,6 +44,7 @@ def main():
         bias = jax.random.normal(ks[4], (4 * C,), jnp.float32) * 0.05
 
         fused = _make_fused(th, False)
+        fused8 = _make_fused(th, False, True)
 
         def scan_fn(cell):
             def run(x, h, c, kern, bias):
@@ -68,7 +69,12 @@ def main():
         print(f"L{li} (B{B} {H}x{W}x{C}) th={th}: parity |dh|={dh:.2e} "
               f"|dc|={dc:.2e}")
 
-        for name, fn in (("xla", f_ref), ("pallas", f_pl)):
+        f_i8 = scan_fn(fused8)
+        h8, c8 = jax.jit(fused8)(x, h0, c0, kern, bias)
+        d8 = float(jnp.max(jnp.abs(h8.astype(jnp.float32)
+                                   - h1r.astype(jnp.float32))))
+        print(f"  int8 single-step |dh| = {d8:.2e}")
+        for name, fn in (("xla", f_ref), ("pallas", f_pl), ("int8", f_i8)):
             h, c = fn(x, h0, c0, kern, bias)
             float(jnp.sum(h.astype(jnp.float32)))
             best = float("inf")
