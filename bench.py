@@ -58,7 +58,16 @@ def main() -> None:
                 nr_events_data=WINDOWS, nr_temporal_bins=BINS,
                 nr_events_window=EVENTS_PER_WINDOW),
         ),
-        model=ModelConfig(model_name="ess_supervised", compute_dtype="bfloat16"),
+        # lstm_impl_train='pallas_int8': the supervised train step's E2VID
+        # rollout is FROZEN and forward-only (latent stop-gradient,
+        # ess_supervised_trainer.py:145-146 semantics), so the double-rate
+        # int8 MXU gate path only perturbs the (already bf16) latent fed to
+        # the trainable head by a measured |dh| < 0.05 max / < 2e-3 mean per
+        # cell (tests/test_conv_lstm_pallas.py); validation and eval always
+        # run the exact bf16 cell. bf16-exact train rollout measured 529
+        # windows/s on this chip (BASELINE.md).
+        model=ModelConfig(model_name="ess_supervised", compute_dtype="bfloat16",
+                          lstm_impl_train="pallas_int8"),
         task=TaskConfig(semseg_num_classes=NUM_CLASSES),
         optim=OptimConfig(batch_size_b=BATCH),
     )

@@ -109,6 +109,14 @@ class ModelConfig:
     # ConvLSTM cell implementation: 'auto' resolves to the fused Pallas
     # conv+pointwise kernel (ops/conv_lstm_pallas.py) on TPU, XLA elsewhere.
     lstm_impl: str = "auto"
+    # Optional override for the TRAIN rollout only (e.g. 'pallas_int8':
+    # double-rate MXU gates on the frozen forward-only rollout; validation
+    # and eval keep the exact `lstm_impl` cell). None = same as lstm_impl.
+    lstm_impl_train: Optional[str] = None
+    # optional eval pass over the TRAIN sets each validation
+    # (trainDatasetStatisticsEpoch, base_trainer.py:429-431/:473-498; the
+    # reference's ESS trainers hard-disable it)
+    do_val_training_epoch: bool = False
     # Numerics
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay float32
 
@@ -292,6 +300,9 @@ def load_config(path_or_dict: str | dict) -> Config:
         e2vid_checkpoint=_get(model_raw, "e2vid_checkpoint", ""),
         head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
         lstm_impl=_get(model_raw, "lstm_impl", "auto"),
+        lstm_impl_train=_get(model_raw, "lstm_impl_train", None) or None,
+        do_val_training_epoch=bool(
+            _get(model_raw, "do_val_training_epoch", False)),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),
     )
 

@@ -81,9 +81,13 @@ class MetricsWriter:
             self._avg[tag].clear()
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int) -> None:
-        """Log an HWC uint8/float image (grids built by ess_tpu.utils.viz)."""
+        """Log an HWC uint8/float image (grids built by ess_tpu.utils.viz).
+        A JSONL marker records the emission for headless runs/tests."""
+        arr = np.asarray(img_hwc)
+        self._jsonl.write(json.dumps(
+            {"t": time.time(), "step": step, "image": tag,
+             "shape": list(arr.shape)}) + "\n")
         if self._tb is not None:
-            arr = np.asarray(img_hwc)
             if arr.dtype != np.uint8:
                 arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
             self._tb.add_image(tag, arr, step, dataformats="HWC")

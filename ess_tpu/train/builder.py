@@ -93,7 +93,14 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     # (B, C, cells) layout (ess_tpu/ops/batch_voxel.py) — the NHWC layout's
     # lane-padded reductions measured ~25 ms/window on v5e; the flat form is
     # free. So the reconstructor itself doesn't re-normalize.
-    recon_train = Reconstructor(model=e2vid, height=th, width=tw,
+    # The train rollout may run a different (e.g. int8) ConvLSTM cell than
+    # eval: a sibling module definition with the same parameter tree.
+    e2vid_train = e2vid
+    if m.lstm_impl_train is not None:
+        train_impl = resolve_lstm_impl(m.lstm_impl_train)
+        if train_impl != e2vid.lstm_impl:
+            e2vid_train = e2vid.clone(lstm_impl=train_impl)
+    recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,
                                 normalize=False)
     recon_val = Reconstructor(model=e2vid, height=vh, width=vw,
                               normalize=False)

@@ -207,10 +207,17 @@ class Trainer:
             m = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
                               task.class_names)
             losses_a = []
+            logged_a = False
             for batch in _device_batches(self.val_a, self._sharding):
                 out = self.eval_step_a(self.state, batch)
                 m.update_confusion(np.asarray(out["cm_a"]))
                 losses_a.append(float(out["semseg_sensor_a_loss"]))
+                if not logged_a:
+                    # sensor-A image grid + latent PCA (ess_trainer.py
+                    # :546-562, base_trainer.py:556-583 parity)
+                    self._log_val_images_a(batch, out)
+                    self._log_latent_pca(out, "val_img")
+                    logged_a = True
             if losses_a:
                 # one mean per validation pass (averaged_scalar's 50-sample
                 # window would silently swallow small val sets and mix
@@ -227,15 +234,29 @@ class Trainer:
             m_cycle = MetricsSemseg(task.semseg_num_classes,
                                     task.semseg_ignore_label, task.class_names)
             logged_images = False
+            embeds = []
             for batch in _device_batches(self.val_b, self._sharding):
                 out = self.eval_step_b(self.state, batch)
                 key = "cm_b" if "cm_b" in out else "cm"
                 m_b.update_confusion(np.asarray(out[key]))
                 if "cm_cycle" in out:
                     m_cycle.update_confusion(np.asarray(out["cm_cycle"]))
+                if "latent8" in out:
+                    # task-feature embedding space: spatially pooled deepest
+                    # latent per sample (base_trainer.py:502-515 parity)
+                    embeds.append(np.asarray(out["latent8"]).mean(axis=(1, 2)))
                 if not logged_images:
                     self._log_val_images(batch, out)
+                    self._log_latent_pca(out, "val_events")
                     logged_images = True
+            if embeds:
+                from ess_tpu.utils import viz
+                edir = os.path.join(self.log_dir, "embeddings")
+                os.makedirs(edir, exist_ok=True)
+                viz.embedding_dump(
+                    np.concatenate(embeds, axis=0), None,
+                    os.path.join(edir,
+                                 f"task_feature_space_{self.step_count}.tsv"))
             s = m_b.summary()
             summary["semseg_sensor_b_mean_iou"] = s["mean_iou"]
             summary["semseg_sensor_b_acc"] = s["acc"]
@@ -279,6 +300,72 @@ class Trainer:
             self.writer.image("val/sensor_b", viz.make_grid(tiles, nrow=n),
                               self.step_count)
 
+    def _log_val_images_a(self, batch: dict, out: dict) -> None:
+        """Sensor-A validation grid: input image, colorized prediction,
+        colorized GT (visualizeSensorA, ess_trainer.py:546-562)."""
+        from ess_tpu.utils import viz
+
+        cmap = self.cfg.task.color_map
+        ignore = self.cfg.task.semseg_ignore_label
+        n = 4
+        tiles = []
+        if "image" in batch:
+            imgs = np.asarray(batch["image"])[:n, :, :, 0]
+            lo, hi = imgs.min(), imgs.max()
+            imgs = (imgs - lo) / max(hi - lo, 1e-12)
+            tiles += [np.repeat(i[..., None], 3, -1) for i in imgs]
+        if "pred" in out:
+            for p in np.asarray(out["pred"])[:n]:
+                tiles.append(viz.colorize_semseg(p, cmap, ignore) / 255.0)
+        if "label" in batch:
+            for l in np.asarray(batch["label"])[:n]:
+                tiles.append(viz.colorize_semseg(l, cmap, ignore) / 255.0)
+        if tiles:
+            self.writer.image("val_img/sensor_a", viz.make_grid(tiles, nrow=n),
+                              self.step_count)
+
+    def _log_latent_pca(self, out: dict, prefix: str) -> None:
+        """Top-3-PCA RGB of the deepest latent (computePCA/createRGBGrid,
+        base_trainer.py:564-583)."""
+        if "latent8" not in out:
+            return
+        from ess_tpu.utils import viz
+
+        lat = np.asarray(out["latent8"])[:4]
+        tiles = [viz.latent_pca_rgb(l) for l in lat]
+        self.writer.image(f"{prefix}/pca_latent_space",
+                          viz.make_grid(tiles, nrow=len(tiles)),
+                          self.step_count)
+
+    def train_stats_epoch(self) -> dict:
+        """Optional eval pass over the TRAIN sets (trainDatasetStatisticsEpoch,
+        base_trainer.py:473-498 / :429-431): same eval steps and metrics as
+        validate(), logged under train_stats_*. Enabled by
+        cfg.model.do_val_training_epoch (the reference hard-disables it in
+        both ESS trainers; here it is a working, gated capability)."""
+        task = self.cfg.task
+        summary: dict = {}
+        if self.eval_step_a is not None and self.train_a is not None:
+            m = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
+                              task.class_names)
+            for batch in _device_batches(self.train_a, self._sharding):
+                out = self.eval_step_a(self.state, batch)
+                m.update_confusion(np.asarray(out["cm_a"]))
+            s = m.summary()
+            summary["train_stats_sensor_a_mean_iou"] = s["mean_iou"]
+        if self.train_b is not None:
+            m = MetricsSemseg(task.semseg_num_classes, task.semseg_ignore_label,
+                              task.class_names)
+            for batch in _device_batches(self.train_b, self._sharding):
+                out = self.eval_step_b(self.state, batch)
+                m.update_confusion(np.asarray(out["cm_b" if "cm_b" in out
+                                                  else "cm"]))
+            s = m.summary()
+            summary["train_stats_sensor_b_mean_iou"] = s["mean_iou"]
+        for k, v in summary.items():
+            self.writer.scalar(f"train_stats/{k}", float(v), self.step_count)
+        return summary
+
     def run(self) -> dict:
         """Full training: epochs with periodic validation + checkpoints
         (base_trainer.py:361-398)."""
@@ -289,6 +376,8 @@ class Trainer:
             if epoch % cfg.optim.val_epoch_step == 0 and (
                     self.val_b is not None or self.val_a is not None):
                 last_summary = self.validate()
+                if cfg.model.do_val_training_epoch:
+                    last_summary.update(self.train_stats_epoch())
             self.train_epoch()
             if self.ckpt is not None:
                 self.ckpt.save(epoch, jax.device_get(self.state),

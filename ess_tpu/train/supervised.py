@@ -147,6 +147,7 @@ def make_eval_step(
             num_classes=cfg.task.semseg_num_classes,
             ignore_label=cfg.task.semseg_ignore_label,
         )
-        return {"loss": loss, "cm": cm, "pred": pred_lbl, "img_fake": img_fake}
+        return {"loss": loss, "cm": cm, "pred": pred_lbl, "img_fake": img_fake,
+                "latent8": latent[8].astype(jnp.float32)}
 
     return jax.jit(step)

@@ -209,7 +209,8 @@ def make_eval_step_a(mods: ESSModules) -> Callable:
         cm = confusion_matrix(pred_lbl, labels,
                               num_classes=cfg.task.semseg_num_classes,
                               ignore_label=cfg.task.semseg_ignore_label)
-        return {"semseg_sensor_a_loss": loss, "cm_a": cm, "pred": pred_lbl}
+        return {"semseg_sensor_a_loss": loss, "cm_a": cm, "pred": pred_lbl,
+                "latent8": latent[8].astype(jnp.float32)}
 
     return jax.jit(step)
 
@@ -265,6 +266,10 @@ def make_eval_step_b(
                 l1_loss(preds_ev[s], preds_cycle[s]) * cfg.optim.weight_cycle_task_loss)
         out["pred"] = pred_ev
         out["img_fake"] = img_fake
+        # deepest-scale latent for the PCA grid + embedding dump
+        # (base_trainer.py:502-515, :556-583 capability — wired here, where
+        # the reference's own append sites are dead code)
+        out["latent8"] = latent_ev[8].astype(jnp.float32)
         return out
 
     return jax.jit(step)

@@ -136,3 +136,43 @@ def test_restore_pretrained_skips_frozen(tmp_path):
         np.asarray(restored.e2vid_params["head"]["Conv_0"]["kernel"]),
         np.asarray(template.e2vid_params["head"]["Conv_0"]["kernel"]))
     ckpt.close()
+
+
+def test_observability_wiring(tmp_path):
+    """Validation emits the latent-PCA grid, sensor-A image grid, embedding
+    TSV dump, and (when enabled) the train-set statistics pass —
+    base_trainer.py:429-431, :502-515, :546-583 capabilities."""
+    import glob
+    import json
+
+    cfg = loop_config("ess", tmp_path)
+    import dataclasses
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, do_val_training_epoch=True))
+    train_b, val_b = event_loaders()
+    imgs = SyntheticImages(length=4, height=16, width=16)
+    train_a = BatchLoader(imgs, 2, shuffle=True, num_workers=2)
+    val_a = BatchLoader(imgs, 2, shuffle=False, drop_last=False, num_workers=2)
+    tr = Trainer(cfg, train_b=train_b, val_b=val_b, train_a=train_a,
+                 val_a=val_a, log_dir=str(tmp_path / "obs"))
+    summary = tr.validate()
+    stats = tr.train_stats_epoch()
+
+    assert "train_stats_sensor_a_mean_iou" in stats
+    assert "train_stats_sensor_b_mean_iou" in stats
+
+    # embedding TSV dump (projector parity)
+    dumps = glob.glob(os.path.join(tr.log_dir, "embeddings", "*.tsv"))
+    assert dumps, "no embedding dump written"
+    rows = np.loadtxt(dumps[0], delimiter="\t")
+    assert rows.shape[0] == 6  # full val_b set (drop_last=False)
+
+    # PCA latent image + sensor-A grid recorded by the writer
+    tr.writer.flush()
+    logged = set()
+    with open(os.path.join(tr.log_dir, "metrics.jsonl")) as f:
+        for line in f:
+            logged.add(json.loads(line).get("image"))
+    assert "val_events/pca_latent_space" in logged
+    assert "val_img/pca_latent_space" in logged
+    assert "val_img/sensor_a" in logged
