@@ -33,6 +33,16 @@ def main(argv=None) -> None:
     parser.add_argument("--color", action="store_true",
                         help="DAVIS346color Bayer stream -> color frames "
                              "(inference_options.py:55-57)")
+    # live display (ImageDisplay, inference_utils.py:210-258)
+    parser.add_argument("--display", action="store_true",
+                        help="show the reconstruction in a cv2 window")
+    parser.add_argument("--show_events", action="store_true",
+                        help="hstack an event preview left of the frame")
+    parser.add_argument("--event_display_mode", default="red-blue",
+                        choices=("red-blue", "grayscale"))
+    parser.add_argument("--num_bins_to_show", type=int, default=-1)
+    parser.add_argument("--display_border_crop", type=int, default=0)
+    parser.add_argument("--display_wait_time", type=int, default=1)
     args = parser.parse_args(argv)
 
     import jax
@@ -99,6 +109,13 @@ def main(argv=None) -> None:
     except ImportError:
         cv2 = None
 
+    from ess_tpu.recon.display import ImageDisplay
+    display = ImageDisplay(
+        display=args.display, show_events=args.show_events,
+        event_display_mode=args.event_display_mode,
+        num_bins_to_show=args.num_bins_to_show,
+        border=args.display_border_crop, wait_time=args.display_wait_time)
+
     for i, window in enumerate(reader):
         t, x, y, p = window[:, 0], window[:, 1], window[:, 2], window[:, 3]
         grid = voxelize_window_soa(
@@ -129,6 +146,8 @@ def main(argv=None) -> None:
             cv2.imwrite(out_path, frame8)
         else:
             frame8.tofile(out_path + ".raw")
+        display(frame8, np.moveaxis(
+            np.asarray(grid[0, :height, :width]), -1, 0))
         print(f"window {i}: {len(x)} events -> {out_path}")
 
 

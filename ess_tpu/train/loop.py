@@ -192,8 +192,10 @@ class Trainer:
                 # async orbax save; keys >= AUTOSAVE_BASE never collide with
                 # epoch keys
                 from ess_tpu.io.checkpoint import AUTOSAVE_BASE
-                self.ckpt.save(AUTOSAVE_BASE + self.step_count,
-                               jax.device_get(self.state),
+                # the (possibly mesh-sharded) state is saved directly: orbax
+                # copies device->host inside save() (multi-host coordinated,
+                # every process participates) — no per-process device_get
+                self.ckpt.save(AUTOSAVE_BASE + self.step_count, self.state,
                                metadata={"epoch": self.epoch,
                                          "step_count": self.step_count})
             if self.profile_steps and self.step_count == self.profile_steps[1]:
@@ -380,7 +382,7 @@ class Trainer:
                     last_summary.update(self.train_stats_epoch())
             self.train_epoch()
             if self.ckpt is not None:
-                self.ckpt.save(epoch, jax.device_get(self.state),
+                self.ckpt.save(epoch, self.state,
                                metadata={"epoch": epoch,
                                          "step_count": self.step_count})
         if self.val_b is not None or self.val_a is not None:

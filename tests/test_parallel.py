@@ -124,13 +124,73 @@ def test_two_process_multihost(tmp_path):
     ]
     outs = []
     try:
+        # generous deadline + HARD FAIL: a skip here silently removed the
+        # only real multi-process coverage (VERDICT round-2 item 10)
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.skip("multihost handshake timed out in this environment")
+        for p in procs:
+            p.wait()
+        pytest.fail("multihost handshake timed out (600 s): the two-process "
+                    "jax.distributed coordinator never converged")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"OK {i}" in out
+
+
+def test_checkpoint_roundtrip_under_mesh(tmp_path):
+    """Train 2 steps on the 8-device mesh, save the SHARDED state, restore
+    into a fresh mesh-replicated template, continue bit-identically
+    (VERDICT round-2 item 4; scales utils/saver.py:8-60)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.io.checkpoint import CheckpointManager
+    from ess_tpu.parallel import make_mesh, replicate, shard_batch
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(16, 16)),
+            sensor_b=EventDatasetConfig(name="synthetic_events", shape=(16, 16),
+                                        nr_events_data=2, nr_temporal_bins=5)),
+        model=ModelConfig(model_name="ess_supervised", e2vid_base_channels=8,
+                          compute_dtype="float32"),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(batch_size_b=8, lr_back=1e-3),
+    )
+    mods = build_modules(cfg)
+    mesh = make_mesh(8)
+    state = replicate(init_state(mods, jax.random.PRNGKey(0)), mesh)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "events": jnp.asarray(rng.normal(size=(8, 2, 16, 16, 5)),
+                              jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 6, (8, 16, 16)), jnp.int32),
+    }, mesh)
+
+    step = sup.make_train_step(mods)
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(0, state, wait=True)
+    template = replicate(init_state(mods, jax.random.PRNGKey(0)), mesh)
+    restored = ckpt.restore(template, 0)
+    ckpt.close()
+
+    # restored state carries the mesh sharding of the template
+    leaf = jax.tree.leaves(restored.back_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    _, l_restored = step(restored, batch)
+    _, l_live = step(state, batch)
+    assert float(l_restored["loss"]) == float(l_live["loss"])

@@ -58,3 +58,36 @@ def test_zero_hot_pixels():
     assert out[0, 4, 3].sum() == 0  # (x=3, y=4)
     assert out[1, 0, 0].sum() == 0
     assert out[0, 1, 1].sum() == 5
+
+
+def test_event_preview_and_display_compose():
+    """make_event_preview + ImageDisplay.compose parity with
+    inference_utils.py:18-42/:210-258 (red-blue polarity, border crop,
+    hstack layout, gray->color promotion)."""
+    import numpy as np
+
+    from ess_tpu.recon.display import ImageDisplay, make_event_preview
+
+    grid = np.zeros((5, 8, 10), np.float32)
+    grid[0, 2, 3] = 1.0
+    grid[4, 5, 6] = -2.0
+    prev = make_event_preview(grid, mode="red-blue")
+    assert prev.shape == (8, 10, 3)
+    assert prev[2, 3, 0] == 255 and prev[2, 3, 2] == 0      # positive: blue
+    assert prev[5, 6, 2] == 255 and prev[5, 6, 0] == 0      # negative: red
+    # last-bin restriction drops the early positive event
+    prev1 = make_event_preview(grid, mode="red-blue", num_bins_to_show=1)
+    assert prev1[2, 3, 0] == 0 and prev1[5, 6, 2] == 255
+
+    gray = make_event_preview(grid, mode="grayscale")
+    assert gray.dtype == np.uint8 and gray.shape == (8, 10)
+    assert gray[0, 0] == 127  # zero events -> midpoint of [-10, 10]
+
+    disp = ImageDisplay(display=False, show_events=True, border=1)
+    img = np.full((8, 10), 128, np.uint8)
+    frame = disp.compose(img, grid)
+    # border crop (8,10)->(6,8) each, color-promoted, hstacked
+    assert frame.shape == (6, 16, 3)
+
+    disp2 = ImageDisplay(display=False, border=2)
+    assert disp2.compose(img).shape == (4, 6)
