@@ -38,19 +38,15 @@ BINS = 5
 NUM_CLASSES = 11
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def make_cfg():
+    """The benchmark's exact model/dataset config (shared with
+    tools/profile_bench.py so profiles attribute the same program)."""
     from ess_tpu.core.config import (
         Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
         ModelConfig, OptimConfig, TaskConfig,
     )
-    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
-    from ess_tpu.train.builder import build_modules, init_state
-    from ess_tpu.train import supervised as sup
 
-    cfg = Config(
+    return Config(
         dataset=DatasetConfig(
             sensor_a=ImageDatasetConfig(shape=(440, 640)),
             sensor_b=EventDatasetConfig(
@@ -71,6 +67,17 @@ def main() -> None:
         task=TaskConfig(semseg_num_classes=NUM_CLASSES),
         optim=OptimConfig(batch_size_b=BATCH),
     )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.train.builder import build_modules, init_state
+    from ess_tpu.train import supervised as sup
+
+    cfg = make_cfg()
     mods = build_modules(cfg)
     state = init_state(mods, jax.random.PRNGKey(0))
 

@@ -185,3 +185,66 @@ def test_streaming_eval_packed_wire(tmp_path, rng):
     from ess_tpu.train.streaming import run_streaming_eval
     metrics = run_streaming_eval(mods, state, iter(stream), pipe)
     assert metrics.confusion.sum() > 0
+
+
+def test_streaming_eval_under_dp_mesh(rng):
+    """Streaming eval composes with the 8-device data mesh: params
+    replicated, the window batch AND the carried ConvLSTM state sharded on
+    the batch axis; confusion matrix matches single-device (VERDICT
+    round-2 item 7; scales sequence_recurrent.py:249-267)."""
+    import jax.numpy as jnp
+
+    from ess_tpu.parallel import make_mesh, replicate, shard_batch
+    from ess_tpu.train.streaming import make_streaming_steps
+
+    h = w = 16
+    n = 128
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(h, w)),
+            sensor_b=EventDatasetConfig(name="synthetic_events", shape=(h, w),
+                                        nr_events_data=1),
+        ),
+        model=ModelConfig(model_name="ess_supervised", e2vid_base_channels=8,
+                          compute_dtype="float32"),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(),
+    )
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(sensor_height=h, sensor_width=w,
+                                        num_bins=5, normalize=True))
+    encode_step, score_step = make_streaming_steps(mods, pipe)
+
+    def window_batch(i, labeled):
+        b = {
+            "ev_x": jnp.asarray(rng.integers(0, w, (8, n)), jnp.float32),
+            "ev_y": jnp.asarray(rng.integers(0, h, (8, n)), jnp.float32),
+            "ev_t": jnp.asarray(
+                np.sort(rng.uniform(0, 100, (8, n)), axis=-1), jnp.float32),
+            "ev_p": jnp.asarray(rng.integers(0, 2, (8, n)), jnp.float32),
+            "ev_valid": jnp.ones((8, n), bool),
+            "is_first": jnp.asarray(np.full(8, i == 0)),
+        }
+        if labeled:
+            b["label"] = jnp.asarray(rng.integers(0, 6, (8, h, w)), jnp.int32)
+        return b
+
+    batches = [window_batch(0, False), window_batch(1, False),
+               window_batch(2, True)]
+
+    # single device
+    rs = mods.recon_val.init_state(8)
+    rs = encode_step(state, rs, batches[0])
+    rs = encode_step(state, rs, batches[1])
+    _, cm_1 = score_step(state, rs, batches[2])
+
+    # 8-way DP: same jitted steps, sharded carry + batch
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+    rs = shard_batch(mods.recon_val.init_state(8), mesh)
+    rs = encode_step(state_r, rs, shard_batch(batches[0], mesh))
+    rs = encode_step(state_r, rs, shard_batch(batches[1], mesh))
+    _, cm_8 = score_step(state_r, rs, shard_batch(batches[2], mesh))
+
+    np.testing.assert_allclose(np.asarray(cm_1), np.asarray(cm_8), atol=0)

@@ -65,27 +65,11 @@ def main() -> None:
     import bench
 
     # Build the bench step + batch exactly as bench.main does.
-    from ess_tpu.core.config import (
-        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
-        ModelConfig, OptimConfig, TaskConfig,
-    )
     from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
     from ess_tpu.train import supervised as sup
     from ess_tpu.train.builder import build_modules, init_state
 
-    cfg = Config(
-        dataset=DatasetConfig(
-            sensor_a=ImageDatasetConfig(shape=(440, 640)),
-            sensor_b=EventDatasetConfig(
-                name="DSEC_events", shape=(440, 640),
-                nr_events_data=bench.WINDOWS, nr_temporal_bins=bench.BINS,
-                nr_events_window=bench.EVENTS_PER_WINDOW),
-        ),
-        model=ModelConfig(model_name="ess_supervised",
-                          compute_dtype="bfloat16"),
-        task=TaskConfig(semseg_num_classes=bench.NUM_CLASSES),
-        optim=OptimConfig(batch_size_b=bench.BATCH),
-    )
+    cfg = bench.make_cfg()
     mods = build_modules(cfg)
     state = init_state(mods, jax.random.PRNGKey(0))
     pipeline = EventPipeline(PipelineConfig(
