@@ -76,7 +76,8 @@ def bench_supervised(name, *, b, t, n, sensor, label_hw, classes, pipe_kw):
             sensor_b=EventDatasetConfig(
                 name=name, shape=label_hw, nr_events_data=t,
                 nr_temporal_bins=5, nr_events_window=n)),
-        model=ModelConfig(model_name="ess_supervised", compute_dtype="bfloat16"),
+        model=ModelConfig(model_name="ess_supervised", compute_dtype="bfloat16",
+                          lstm_impl_train="pallas_int8"),
         task=TaskConfig(semseg_num_classes=classes),
         optim=OptimConfig(batch_size_b=b))
     mods = build_modules(cfg)
@@ -115,7 +116,8 @@ def bench_uda_dsec():
                 name="DSEC_events", shape=(440, 640), nr_events_data=t,
                 nr_temporal_bins=5, nr_events_window=n)),
         model=ModelConfig(model_name="ess", compute_dtype="bfloat16",
-                          data_augmentation_train=False),
+                          data_augmentation_train=False,
+                          lstm_impl_train="pallas_int8"),
         task=TaskConfig(semseg_num_classes=11),
         optim=OptimConfig(batch_size_a=b, batch_size_b=b))
     mods = build_modules(cfg)
@@ -164,7 +166,8 @@ def bench_uda_ddd17():
                 name="DDD17_events", shape=(200, 346), nr_events_data=t,
                 nr_temporal_bins=5, nr_events_window=n)),
         model=ModelConfig(model_name="ess", compute_dtype="bfloat16",
-                          data_augmentation_train=True),
+                          data_augmentation_train=True,
+                          lstm_impl_train="pallas_int8"),
         task=TaskConfig(semseg_num_classes=6),
         optim=OptimConfig(batch_size_a=b, batch_size_b=b))
     mods = build_modules(cfg)

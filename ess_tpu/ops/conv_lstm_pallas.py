@@ -43,6 +43,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -310,7 +311,15 @@ def conv_lstm_cell(
     Falls back to the XLA cell when the geometry doesn't tile (non-3x3
     kernel, or no row-tile divides H).
     """
-    if impl != "xla" and kernel.shape[:2] == (3, 3):
+    # Small geometries are per-invocation-overhead-dominated (and the int8
+    # variant's per-call weight requant is no longer amortized): measured on
+    # v5e, the DDD17-UDA 120x216-crop encoders run ~3% FASTER on the XLA
+    # cell, while everything >= DSEC's deepest encoder (9M elements) wins
+    # on the fused kernel. Interpret-mode (tests) always exercises the
+    # kernel path.
+    big_enough = (impl.endswith("_interpret")
+                  or int(np.prod(x.shape)) >= 4_000_000)
+    if impl != "xla" and kernel.shape[:2] == (3, 3) and big_enough:
         th = pick_row_tile(x.shape[1])
         if th is not None:
             base = impl.removesuffix("_interpret")

@@ -237,3 +237,34 @@ def test_pallas_border_events(rng):
     _, v, offs = host_tile_bin(raw, np.ones((1, 2), bool), height=h, width=w,
                                bins=bins)
     assert offs[0, -1] == 2 and v.sum() == 2
+
+
+def test_fold_s2d_mxu_matches_reference_fold(rng):
+    """The selection-matmul halo fold (and the native-layout v2) produce
+    exactly the reference XLA fold's s2d blocks (random tile accumulators,
+    incl. halo rows/cols/corners and poisoned padding)."""
+    import jax.numpy as jnp
+
+    from ess_tpu.ops.voxel_pallas import (
+        COL_SLOT, _fold_halo_s2d, _fold_halo_s2d_mxu, _fold_halo_s2d_v2)
+
+    bins, th, height, width = 5, 24, 96, 256  # n_ty=4, n_tx=2
+    n_ty, n_tx = height // th, width // 128
+    rows = ((bins * (th + 1) + 7) // 8) * 8
+    tiles = rng.normal(size=(3, n_ty, rows, n_tx * COL_SLOT)).astype(np.float32)
+    # the fold must only read the used rows/cols; poison padding to prove it
+    tiles[:, :, bins * (th + 1):, :] = 7e7
+    for j in range(n_tx):
+        tiles[:, :, :, j * COL_SLOT + 130:(j + 1) * COL_SLOT] = -9e6
+    tiles = jnp.asarray(tiles)
+
+    want = _fold_halo_s2d(tiles, bins=bins, tile_h=th,
+                          height=height, width=width)
+    got = _fold_halo_s2d_mxu(tiles, bins=bins, tile_h=th,
+                             height=height, width=width)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    got2 = _fold_halo_s2d_v2(tiles, bins=bins, tile_h=th,
+                             height=height, width=width)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
