@@ -52,12 +52,19 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def pick_row_tile(height: int, lo: int = 2, hi: int = 16) -> Optional[int]:
-    """Largest-priority divisor of `height` closest to 8 within [lo, hi]."""
+def pick_row_tile(height: int, lo: int = 2, hi: int = 24) -> Optional[int]:
+    """Divisor of `height` in [lo, hi] closest to 22 (larger wins ties).
+
+    Large row tiles amortize the per-tile halo rows and im2row edge writes
+    and cut fixed per-program overhead; v5e sweep on the DSEC L0 geometry
+    (220 rows): th=22 4.18 ms vs th=10 5.37 ms per bf16 cell step, int8
+    3.63 vs ~4.0 (tools/bench_lstm.py). VMEM stays comfortable: the int8
+    im2row buffer at th=22/W=320/CIN=128 is ~8 MB.
+    """
     cands = [t for t in range(lo, hi + 1) if height % t == 0]
     if not cands:
         return None
-    return min(cands, key=lambda t: (abs(t - 8), -t))
+    return min(cands, key=lambda t: (abs(t - 22), -t))
 
 
 def prepare_gate_weights(kernel: jax.Array, dtype) -> jax.Array:

@@ -113,10 +113,12 @@ def test_grad_fallback_through_custom_vjp():
 
 
 def test_pick_row_tile():
-    assert pick_row_tile(220) in (4, 5, 10, 11)
+    # large tiles preferred (v5e sweep: th=22 beats th=10 by ~20% at L0)
+    assert pick_row_tile(220) == 22
+    assert pick_row_tile(110) == 22
     assert 55 % pick_row_tile(55) == 0
-    assert pick_row_tile(15) == 5
-    assert pick_row_tile(17) is None  # prime > hi: caller falls back to XLA
+    assert pick_row_tile(15) == 15
+    assert pick_row_tile(29) is None  # prime > hi: caller falls back to XLA
     assert pick_row_tile(8) == 8
 
 
