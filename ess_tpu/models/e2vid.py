@@ -95,6 +95,11 @@ class RecurrentUNet(nn.Module):
     # ConvLSTM cell implementation: 'xla' | 'pallas' | 'pallas_interpret'
     # (ops/conv_lstm_pallas.py fused kernel; resolved from cfg by the builder)
     lstm_impl: str = "xla"
+    # Block-space conv implementation for the head + first-encoder convs when
+    # running with block_input=True: 'xla' | 'pallas' | 'pallas_int8'
+    # (ops/conv3x3_pallas.py). The builder derives this from lstm_impl so the
+    # whole frozen rollout runs one precision policy.
+    block_conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -126,6 +131,7 @@ class RecurrentUNet(nn.Module):
             head_s2d = ConvLayer(
                 self.base_channels, kernel_size=5, strides=1,
                 activation="relu", norm=None,
+                block_conv_impl=self.block_conv_impl,
                 dtype=self.dtype, name="head",
             )(compute, train=train, block_space=True)
             # full-res head only where consumed (decode windows); the scan
@@ -149,7 +155,8 @@ class RecurrentUNet(nn.Module):
             h, st = RecurrentConvLayer(
                 features, kernel_size=5, strides=2,
                 recurrent_block=self.recurrent_block, norm=self.norm,
-                lstm_impl=self.lstm_impl, dtype=self.dtype,
+                lstm_impl=self.lstm_impl,
+                block_conv_impl=self.block_conv_impl, dtype=self.dtype,
                 name=f"encoder_{i}",
             )(h, states[i], train=train,
               block_space=block_input and i == 0)

@@ -167,19 +167,41 @@ class _BlockConv(nn.Module):
     features: int
     strides: int = 1
     use_bias: bool = True
+    # post-conv activation; fused into the Pallas kernel when impl != 'xla'
+    activation: Optional[str] = None
+    # 'xla' | 'pallas' | 'pallas_int8' (+ '_interpret'): ops/conv3x3_pallas
+    # fused block conv — the XLA lowering of these convs runs far off MXU
+    # peak at DSEC scale (round-3 xplane). int8 is the frozen-rollout
+    # double-rate path, same policy as ConvLSTMCell impl='pallas_int8'.
+    impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_s2d: jax.Array) -> jax.Array:
-        from ess_tpu.ops.conv_s2d import conv5x5_s2d_blocks, conv5x5_s2d_stride2
+        from ess_tpu.ops.conv_s2d import (
+            conv5x5_s2d_blocks, conv5x5_s2d_stride2, s2d_kernel,
+            s2d_kernel_stride2)
 
         cin = x_s2d.shape[-1] // 4
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (5, 5, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if self.impl != "xla":
+            from ess_tpu.ops.conv3x3_pallas import conv3x3_fused
+            if self.strides == 1:
+                w2 = s2d_kernel(kernel)
+                b2 = jnp.tile(bias, 4) if bias is not None else None
+            else:
+                w2 = s2d_kernel_stride2(kernel)
+                b2 = bias
+            fuse_relu = self.activation == "relu"
+            out = conv3x3_fused(x_s2d.astype(self.dtype), w2, b2,
+                                relu=fuse_relu, impl=self.impl)
+            return out if fuse_relu else activation_fn(self.activation)(out)
         fn = conv5x5_s2d_blocks if self.strides == 1 else conv5x5_s2d_stride2
-        return fn(x_s2d, kernel, bias, dtype=self.dtype)
+        out = fn(x_s2d, kernel, bias, dtype=self.dtype)
+        return activation_fn(self.activation)(out)
 
 
 class ConvLayer(nn.Module):
@@ -194,6 +216,9 @@ class ConvLayer(nn.Module):
     # ('auto' = space-to-depth block conv for stride-1 5x5 on even H/W —
     # the MXU-hostile few-channel head-conv case; otherwise XLA conv)
     conv_impl: str = "xla"
+    # implementation of the block-space (space-to-depth) conv when called
+    # with block_space=True: 'xla' | 'pallas' | 'pallas_int8' (_BlockConv)
+    block_conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def _resolve_impl(self, x: jax.Array) -> str:
@@ -216,9 +241,10 @@ class ConvLayer(nn.Module):
             # x is space-to-depth; params stay (5,5,C,features)
             assert self.kernel_size == 5 and self.norm is None, (
                 "block-space path supports 5x5 norm-free convs")
-            x = _BlockConv(self.features, self.strides,
-                           use_bias=True, dtype=self.dtype, name="Conv_0")(x)
-            return activation_fn(self.activation)(x)
+            return _BlockConv(self.features, self.strides, use_bias=True,
+                              activation=self.activation,
+                              impl=self.block_conv_impl,
+                              dtype=self.dtype, name="Conv_0")(x)
         pad = self.kernel_size // 2
         impl = self._resolve_impl(x)
         if (impl in ("xla_im2col", "s2d") and self.strides == 1
@@ -447,6 +473,7 @@ class RecurrentConvLayer(nn.Module):
     recurrent_block: str = "convlstm"  # 'convlstm' | 'convgru'
     norm: Optional[str] = None
     lstm_impl: str = "xla"
+    block_conv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -454,7 +481,9 @@ class RecurrentConvLayer(nn.Module):
                  block_space: bool = False):
         x = ConvLayer(
             self.features, self.kernel_size, self.strides,
-            activation="relu", norm=self.norm, dtype=self.dtype, name="conv",
+            activation="relu", norm=self.norm,
+            block_conv_impl=self.block_conv_impl,
+            dtype=self.dtype, name="conv",
         )(x, train=train, block_space=block_space)
         if self.recurrent_block == "convlstm":
             cell = ConvLSTMCell(self.features, impl=self.lstm_impl,

@@ -46,6 +46,13 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
 
     from ess_tpu.ops.conv_lstm_pallas import resolve_lstm_impl
 
+    # Block-space head/encoder convs stay on the XLA lowering for now: the
+    # standalone Pallas conv (ops/conv3x3_pallas.py) measured SLOWER than
+    # XLA end-to-end (v5e round-3: head 22.5 vs 8.7 ms/step, enc0 20.5 vs
+    # 16.4 — im2row build amortizes poorly at N=64/128 outputs, and the
+    # extra absmax reduces eat the quant-prep saving). The fused
+    # encoder-level kernel supersedes this path.
+    lstm_impl = resolve_lstm_impl(m.lstm_impl)
     e2vid = RecurrentUNet(
         base_channels=m.e2vid_base_channels,
         num_encoders=m.e2vid_num_encoders,
@@ -54,7 +61,7 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         recurrent_block=m.e2vid_recurrent_block,
         norm=m.e2vid_norm,
         head_conv_impl=m.head_conv_impl,
-        lstm_impl=resolve_lstm_impl(m.lstm_impl),
+        lstm_impl=lstm_impl,
         dtype=dtype,
     )
 
