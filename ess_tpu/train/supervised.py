@@ -64,9 +64,10 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
                 # prefix-slice materialization the t-major layout induces.)
                 grids, labels = pipeline.build_all(
                     batch, rng, train=train, layout="s2d",
-                    out_dtype=recon.model.dtype)
+                    out_dtype=recon.model.dtype, time_major=True)
                 img, _, latent = recon.rollout(
-                    state.e2vid_params, grids, windows_s2d=True)
+                    state.e2vid_params, grids, windows_s2d=True,
+                    time_major=True)
             else:
                 grids, labels = pipeline.build_all(batch, rng, train=train)
                 img, _, latent = recon.rollout(state.e2vid_params, grids)
