@@ -199,20 +199,31 @@ class EventPipeline:
                 and cfg.sensor_width % 2 == 0
                 and not (cfg.rectify and self.rectify_map is not None))
 
-    def _transform_s2d(self, grids: jax.Array, aug: AugmentParams) -> jax.Array:
-        """Block-space transforms: bottom crop (even rows) + horizontal flip.
+    def s4d_capable(self, *, train: bool) -> bool:
+        """Like :meth:`s2d_capable` for the quad-block (4x4) window layout
+        (geometry divisible by 4; same transform restrictions)."""
+        cfg = self.cfg
+        return (self.s2d_capable(train=train)
+                and cfg.crop_bottom % 4 == 0
+                and cfg.sensor_height % 4 == 0
+                and cfg.sensor_width % 4 == 0)
+
+    def _transform_s2d(self, grids: jax.Array, aug: AugmentParams,
+                       block: int = 2) -> jax.Array:
+        """Block-space transforms: bottom crop (block-aligned rows) +
+        horizontal flip.
 
         A horizontal flip of the full-res grid maps block column X, phase s
-        to block column WB-1-X, phase 1-s: reverse the block axis and swap
-        the s phase groups of the (r*2+s)*C + c channel order.
+        to block column WB-1-X, phase B-1-s: reverse the block axis and
+        reverse the s phase groups of the (r*B+s)*C + c channel order.
         """
         cfg = self.cfg
         if cfg.crop_bottom > 0:
-            grids = grids[:, : (cfg.sensor_height - cfg.crop_bottom) // 2]
+            grids = grids[:, : (cfg.sensor_height - cfg.crop_bottom) // block]
         if aug.flip is not None:
-            c = grids.shape[-1] // 4
+            c = grids.shape[-1] // (block * block)
             perm = np.arange(grids.shape[-1])
-            perm = perm.reshape(2, 2, c)[:, ::-1].reshape(-1)
+            perm = perm.reshape(block, block, c)[:, ::-1].reshape(-1)
             flipped = grids[:, :, ::-1, :][..., perm]
             grids = jnp.where(aug.flip[:, None, None, None], flipped, grids)
         return grids
@@ -322,7 +333,9 @@ class EventPipeline:
         offs = batch.get("ev_tile_offsets")
         if offs is not None and time_major:
             offs = jnp.swapaxes(offs, 0, 1)
-        if layout == "s2d":
+        if layout == "s4d":
+            assert self.s4d_capable(train=train), "s4d layout unavailable"
+        elif layout == "s2d":
             assert self.s2d_capable(train=train), "s2d layout unavailable"
         grids = voxelize_window_soa(
             flat(batch["ev_x"]), flat(batch["ev_y"]), flat(batch["ev_t"]),
@@ -339,7 +352,7 @@ class EventPipeline:
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
             layout=layout,
-            out_dtype=out_dtype if layout == "s2d" else jnp.float32,
+            out_dtype=out_dtype if layout in ("s2d", "s4d") else jnp.float32,
             t_prenormalized=t_prenorm,
         )
         aug = self.sample_augment(rng, b, train=train)
@@ -350,7 +363,9 @@ class EventPipeline:
             rep = lambda a: None if a is None else jnp.repeat(a, t_dim, axis=0)
         aug_t = AugmentParams(flip=rep(aug.flip), crop_y=rep(aug.crop_y),
                               crop_x=rep(aug.crop_x))
-        if layout == "s2d":
+        if layout == "s4d":
+            grids = self._transform_s2d(grids, aug_t, block=4)
+        elif layout == "s2d":
             grids = self._transform_s2d(grids, aug_t)
         else:
             grids = self._transform_grid(grids, aug_t)

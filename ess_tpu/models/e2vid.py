@@ -46,25 +46,30 @@ def zero_recurrent_state(
     num_encoders: int = 3,
     base_channels: int = 32,
     recurrent_block: str = "convlstm",
+    quad_block: bool = False,
     dtype=jnp.float32,
 ):
     """Zero ConvLSTM/GRU state for a padded (height, width) input.
 
     Equivalent to the reference's lazily-created zero state tensors
     (submodules.py:195-207); here the caller owns the state explicitly.
+    ``quad_block=True``: the first encoder's state lives in space-to-depth
+    form (B, H/4, W/4, 4*C) — the quad-block rollout's layout.
     """
     states = []
     h, w = height, width
     for i in range(num_encoders):
         h, w = h // 2, w // 2
         c = base_channels * 2 ** (i + 1)
+        sh = ((batch, h // 2, w // 2, 4 * c) if quad_block and i == 0
+              else (batch, h, w, c))
         if recurrent_block == "convlstm":
             # distinct buffers: (h, c) sharing one zeros array would alias
             # under buffer donation ("donate the same buffer twice")
-            states.append((jnp.zeros((batch, h, w, c), dtype),
-                           jnp.zeros((batch, h, w, c), dtype).copy()))
+            states.append((jnp.zeros(sh, dtype),
+                           jnp.zeros(sh, dtype).copy()))
         else:
-            states.append(jnp.zeros((batch, h, w, c), dtype))
+            states.append(jnp.zeros(sh, dtype))
     return tuple(states)
 
 
@@ -100,6 +105,14 @@ class RecurrentUNet(nn.Module):
     # (ops/conv3x3_pallas.py). The builder derives this from lstm_impl so the
     # whole frozen rollout runs one precision policy.
     block_conv_impl: str = "xla"
+    # Quad-block rollout: with block_input, consume 4x4 space-to-depth
+    # windows (B, H/4, W/4, 16C); the head + first encoder evaluate at
+    # quarter resolution with 16x/4x channel widths and the first ConvLSTM
+    # runs on s2d state — exact-math weight remaps throughout
+    # (ops/conv_s2d.block_kernel). Why: the 64-channel first level is the
+    # single most MXU-hostile stage of the DSEC rollout (measured ~2x the
+    # per-FLOP cost of the 128-channel level on v5e).
+    quad_block: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -126,19 +139,21 @@ class RecurrentUNet(nn.Module):
         compute = x.astype(self.dtype)
 
         if block_input:
-            from ess_tpu.ops.conv_s2d import depth_to_space
+            from ess_tpu.ops.conv_s2d import depth_to_space, depth_to_space4
 
-            head_s2d = ConvLayer(
+            quad = self.quad_block
+            head_blk = ConvLayer(
                 self.base_channels, kernel_size=5, strides=1,
                 activation="relu", norm=None,
                 block_conv_impl=self.block_conv_impl,
                 dtype=self.dtype, name="head",
-            )(compute, train=train, block_space=True)
+            )(compute, train=train, block_space=4 if quad else True)
             # full-res head only where consumed (decode windows); the scan
             # body drops latent, so XLA DCEs this transpose there.
-            head = depth_to_space(head_s2d)
-            enc_in = head_s2d
+            head = (depth_to_space4 if quad else depth_to_space)(head_blk)
+            enc_in = head_blk
         else:
+            quad = False
             head = ConvLayer(
                 self.base_channels, kernel_size=5, strides=1,
                 activation="relu", norm=None, conv_impl=self.head_conv_impl,
@@ -152,17 +167,31 @@ class RecurrentUNet(nn.Module):
         h = enc_in
         for i in range(self.num_encoders):
             features = self.base_channels * 2 ** (i + 1)
+            if quad:
+                # level 0 consumes s4d, runs on s2d state; level 1 consumes
+                # the s2d hidden state through the existing block conv
+                bs = 4 if i == 0 else (True if i == 1 else False)
+            else:
+                bs = block_input and i == 0
             h, st = RecurrentConvLayer(
                 features, kernel_size=5, strides=2,
                 recurrent_block=self.recurrent_block, norm=self.norm,
                 lstm_impl=self.lstm_impl,
                 block_conv_impl=self.block_conv_impl, dtype=self.dtype,
                 name=f"encoder_{i}",
-            )(h, states[i], train=train,
-              block_space=block_input and i == 0)
-            blocks.append(h)
+            )(h, states[i], train=train, block_space=bs)
             new_states.append(st)
-            latent[2 ** (i + 1)] = h
+            if bs == 4:
+                # decoder skips / latent want the standard layout; in the
+                # encoder-only scan body these are dropped, so XLA DCEs the
+                # transpose — only decode windows pay it. `h` itself stays
+                # s2d: the next level's block conv consumes it directly.
+                from ess_tpu.ops.conv_s2d import depth_to_space as _d2s
+                h_std = _d2s(h)
+            else:
+                h_std = h
+            blocks.append(h_std)
+            latent[2 ** (i + 1)] = h_std
 
         if not decode:
             return None, tuple(new_states), latent

@@ -157,50 +157,53 @@ class _BlockConv(nn.Module):
 
     Parameters are identical to nn.Conv's (5, 5, C_in, features) 'kernel' +
     'bias', so checkpoints interchange with every other impl; the kernel is
-    remapped to block space at apply time (ops/conv_s2d.py). strides=1
-    keeps the output in block space (4*features channels, one per 2x2
-    phase); strides=2 lands directly at half resolution — the natural
-    layout for the E2VID head + first recurrent encoder, which then never
-    materialize a full-resolution intermediate.
+    remapped to block space at apply time (ops/conv_s2d.py block_kernel —
+    exact math). ``in_block`` is the input's blocking factor (2 = s2d,
+    4 = the quad-block rollout's s4d); the output blocking follows from the
+    stride (out_block = in_block // strides), so strides=2 on an s2d input
+    lands at half resolution unblocked, and on an s4d input lands at half
+    resolution in s2d form — the layout the quad-block ConvLSTM consumes.
     """
 
     features: int
     strides: int = 1
     use_bias: bool = True
+    in_block: int = 2
     # post-conv activation; fused into the Pallas kernel when impl != 'xla'
     activation: Optional[str] = None
     # 'xla' | 'pallas' | 'pallas_int8' (+ '_interpret'): ops/conv3x3_pallas
-    # fused block conv — the XLA lowering of these convs runs far off MXU
-    # peak at DSEC scale (round-3 xplane). int8 is the frozen-rollout
+    # fused block conv — kept as an opt-in (measured slower than XLA at
+    # DSEC scale, see train/builder.py); int8 is the frozen-rollout
     # double-rate path, same policy as ConvLSTMCell impl='pallas_int8'.
     impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_s2d: jax.Array) -> jax.Array:
-        from ess_tpu.ops.conv_s2d import (
-            conv5x5_s2d_blocks, conv5x5_s2d_stride2, s2d_kernel,
-            s2d_kernel_stride2)
+    def __call__(self, x_blk: jax.Array) -> jax.Array:
+        from ess_tpu.ops.conv_s2d import block_bias, block_kernel
 
-        cin = x_s2d.shape[-1] // 4
+        bi = self.in_block
+        bo = bi // self.strides
+        cin = x_blk.shape[-1] // (bi * bi)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (5, 5, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        w2 = block_kernel(kernel, bi=bi, bo=bo, stride=self.strides)
+        b2 = block_bias(bias, bo) if bias is not None else None
         if self.impl != "xla":
             from ess_tpu.ops.conv3x3_pallas import conv3x3_fused
-            if self.strides == 1:
-                w2 = s2d_kernel(kernel)
-                b2 = jnp.tile(bias, 4) if bias is not None else None
-            else:
-                w2 = s2d_kernel_stride2(kernel)
-                b2 = bias
             fuse_relu = self.activation == "relu"
-            out = conv3x3_fused(x_s2d.astype(self.dtype), w2, b2,
+            out = conv3x3_fused(x_blk.astype(self.dtype), w2, b2,
                                 relu=fuse_relu, impl=self.impl)
             return out if fuse_relu else activation_fn(self.activation)(out)
-        fn = conv5x5_s2d_blocks if self.strides == 1 else conv5x5_s2d_stride2
-        out = fn(x_s2d, kernel, bias, dtype=self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x_blk.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        if b2 is not None:
+            out = out + b2.astype(self.dtype)
         return activation_fn(self.activation)(out)
 
 
@@ -238,10 +241,12 @@ class ConvLayer(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False,
                  block_space: bool = False) -> jax.Array:
         if block_space:
-            # x is space-to-depth; params stay (5,5,C,features)
+            # x is space-to-depth (block_space=True/2) or the quad-block
+            # s4d form (block_space=4); params stay (5,5,C,features)
             assert self.kernel_size == 5 and self.norm is None, (
                 "block-space path supports 5x5 norm-free convs")
             return _BlockConv(self.features, self.strides, use_bias=True,
+                              in_block=4 if block_space == 4 else 2,
                               activation=self.activation,
                               impl=self.block_conv_impl,
                               dtype=self.dtype, name="Conv_0")(x)
@@ -409,11 +414,32 @@ class ConvLSTMCell(nn.Module):
     hidden: int
     kernel_size: int = 3
     impl: str = "xla"
+    # state_block=2: operands (x, h, c) arrive/leave in space-to-depth form
+    # (quad-block rollout). The gate params stay at the original channel
+    # counts; ops/conv_s2d.gates_kernel_s2d remaps them per call (exact
+    # math), so checkpoints and every other path interchange. `hidden` is
+    # the ORIGINAL hidden width; s2d operands carry 4*hidden channels.
+    state_block: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, state: LSTMState) -> Tuple[jax.Array, LSTMState]:
         h_prev, c_prev = state
+        if self.state_block == 2:
+            from ess_tpu.ops.conv_s2d import gates_bias_s2d, gates_kernel_s2d
+            from ess_tpu.ops.conv_lstm_pallas import (
+                conv_lstm_cell, conv_lstm_ref)
+            cx = x.shape[-1] // 4
+            kernel, bias = _GateParams(
+                4 * self.hidden, self.kernel_size,
+                cx + self.hidden, name="gates")()
+            k2 = gates_kernel_s2d(kernel)
+            b2 = gates_bias_s2d(bias)
+            fn = (conv_lstm_ref if self.impl == "xla"
+                  else lambda *a: conv_lstm_cell(*a, impl=self.impl))
+            h, c = fn(x.astype(self.dtype), h_prev.astype(self.dtype),
+                      c_prev.astype(self.dtype), k2, b2)
+            return h, (h, c)
         if self.impl != "xla":
             from ess_tpu.ops.conv_lstm_pallas import conv_lstm_cell
             kernel, bias = _GateParams(
@@ -478,17 +504,24 @@ class RecurrentConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, state, *, train: bool = False,
-                 block_space: bool = False):
+                 block_space=False):
+        """``block_space``: False = NHWC input; True/2 = space-to-depth
+        input (stride-2 conv lands unblocked); 4 = quad-block s4d input —
+        the conv lands in s2d form and the ConvLSTM runs on s2d state
+        (state_block=2), all exact-math weight remaps."""
         x = ConvLayer(
             self.features, self.kernel_size, self.strides,
             activation="relu", norm=self.norm,
             block_conv_impl=self.block_conv_impl,
             dtype=self.dtype, name="conv",
         )(x, train=train, block_space=block_space)
+        state_block = 2 if block_space == 4 else 1
         if self.recurrent_block == "convlstm":
             cell = ConvLSTMCell(self.features, impl=self.lstm_impl,
+                                state_block=state_block,
                                 dtype=self.dtype, name="rnn")
         else:
+            assert state_block == 1, "quad-block path requires convlstm"
             cell = ConvGRUCell(self.features, dtype=self.dtype, name="rnn")
         out, new_state = cell(x, state)
         return out, new_state

@@ -147,6 +147,8 @@ def _voxelize_pallas(
                           bins=bins_eff, height=hp, width=wp,
                           interpret=interpret, layout=layout,
                           oh_dtype=oh_dtype, out_dtype=out_dtype)
+    if layout == "s4d":
+        return grid[:, : height // 4, : width // 4, :]
     if layout == "s2d":
         return grid[:, : height // 2, : width // 2, :]
     return grid[:, :height, :width, :]  # (B, H, W, C)

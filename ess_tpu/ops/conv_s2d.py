@@ -89,11 +89,112 @@ def conv5x5_s2d_stride2(
     return out
 
 
+def block_kernel(kernel: jax.Array, *, bi: int, bo: int,
+                 stride: int = 1) -> jax.Array:
+    """General space-to-depth conv-kernel remap.
+
+    For a (K, K, C_in, C_out) SAME conv (pad = K//2) with ``stride``, whose
+    input is stored in bi x bi blocks — channel (r*bi + s)*C_in + c — and
+    whose output should come out in bo x bo blocks — channel
+    (p*bo + q)*C_out + n — returns the exactly equivalent stride-1 block
+    kernel (KB, KB, bi^2*C_in, bo^2*C_out). Requires stride*bo == bi so the
+    block grids align (the blocked conv is then stride-1).
+
+    Subsumes :func:`s2d_kernel` (bi=bo=2, stride=1) and
+    :func:`s2d_kernel_stride2` (bi=2, bo=1, stride=2); also covers the
+    quad-block rollout's 4x4 forms and the 3x3 ConvLSTM gate conv
+    (bi=bo=2). Pure gather of the original weights — gradients flow
+    through, converted checkpoints stay valid.
+    """
+    k, k2, cin, cout = kernel.shape
+    assert k == k2 and k % 2 == 1, kernel.shape
+    assert stride * bo == bi, (stride, bo, bi)
+    pad = k // 2
+    imin = -pad
+    imax = stride * (bo - 1) + k - 1 - pad
+    dymin = imin // bi
+    kb = imax // bi - dymin + 1
+    # gather index into the kernel axis; K = the appended zero row (taps
+    # that fall outside the kernel support)
+    idx = np.full((kb, bi, bo), k, np.int64)
+    for ky in range(kb):
+        for r in range(bi):
+            for p in range(bo):
+                dy = (ky + dymin) * bi + r - stride * p + pad
+                if 0 <= dy < k:
+                    idx[ky, r, p] = dy
+    kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w = kp[idx.reshape(-1)][:, idx.reshape(-1)]
+    w = w.reshape(kb, bi, bo, kb, bi, bo, cin, cout)
+    #              ky r   p   kx  s   q
+    w = w.transpose(0, 3, 1, 4, 6, 2, 5, 7)   # ky kx r s cin p q cout
+    return w.reshape(kb, kb, bi * bi * cin, bo * bo * cout)
+
+
+def block_bias(bias: jax.Array, bo: int) -> jax.Array:
+    """Tile a conv bias for bo x bo blocked output channels."""
+    return jnp.tile(bias, bo * bo)
+
+
+def gates_kernel_s2d(kernel: jax.Array) -> jax.Array:
+    """ConvLSTM gate-conv kernel -> its s2d-operand equivalent.
+
+    ``kernel``: (3, 3, CX + CH, 4*CH), gate order (i, f, o, g) packed on the
+    output dim. Returns (3, 3, 4*(CX+CH), 16*CH) whose INPUT dim expects
+    concat(x_s2d, h_s2d) — each operand separately space-to-depth'd, i.e.
+    channel layout [x: (ph, c)] ++ [h: (ph, c)] — and whose OUTPUT stays
+    gate-major: gate g occupies columns [g*4*CH, (g+1)*4*CH) with (ph, c)
+    inside, so the cell's i/f/o/g split and the s2d hidden-state layout both
+    work unchanged. Exact math (see block_kernel).
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    ch = cout // 4
+    cx = cin - ch
+    w = block_kernel(kernel, bi=2, bo=2, stride=1)   # (3,3,4*cin,4*cout)
+    # input: blocked order (ph, [x|h]) -> wanted ([ph,x] | [ph,h]):
+    # in_perm[new] = old blocked index
+    in_perm = np.concatenate([
+        (np.arange(4)[:, None] * cin
+         + np.arange(cx)[None, :]).reshape(-1),          # all x phases
+        (np.arange(4)[:, None] * cin + cx
+         + np.arange(ch)[None, :]).reshape(-1),          # all h phases
+    ])
+    # output: blocked order (ph, g, c) -> wanted (g, ph, c)
+    old = (np.arange(4)[:, None, None] * cout
+           + np.arange(4)[None, :, None] * ch
+           + np.arange(ch)[None, None, :])            # (ph, g, c)
+    out_perm = old.transpose(1, 0, 2).reshape(-1)     # (g, ph, c)
+    return w[:, :, in_perm, :][:, :, :, out_perm]
+
+
+def gates_bias_s2d(bias: jax.Array) -> jax.Array:
+    """Gate-conv bias -> s2d gate-major layout (matches gates_kernel_s2d)."""
+    cout = bias.shape[0]
+    ch = cout // 4
+    b = jnp.tile(bias, 4).reshape(4, 4, ch)           # (ph, g, c)
+    return jnp.transpose(b, (1, 0, 2)).reshape(-1)    # (g, ph, c)
+
+
 def space_to_depth(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (r*2 + s)*C + c."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def space_to_depth4(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/4, W/4, 16C); channel = (r*4 + s)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
+
+
+def depth_to_space4(x: jax.Array) -> jax.Array:
+    """(B, H/4, W/4, 16C) -> (B, H, W, C); inverse of space_to_depth4."""
+    b, hh, ww, c16 = x.shape
+    c = c16 // 16
+    x = x.reshape(b, hh, ww, 4, 4, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * hh, 4 * ww, c)
 
 
 def depth_to_space(x: jax.Array) -> jax.Array:

@@ -329,6 +329,13 @@ def voxelize_tiled(
         interpret=interpret,
     )(offsets, ev)
 
+    if layout == "s4d":
+        if k == width // TILE_W and tile_h % 4 == 0:
+            return _fold_halo_s4d_mxu(out, bins=bins, tile_h=tile_h,
+                                      height=height, width=width)
+        from ess_tpu.ops.conv_s2d import space_to_depth4
+        return space_to_depth4(_fold_halo_nhwc(
+            out, bins=bins, tile_h=tile_h, height=height, width=width))
     if layout == "s2d":
         if k == width // TILE_W and tile_h % 2 == 0:
             return _fold_halo_s2d_mxu(out, bins=bins, tile_h=tile_h,
@@ -458,6 +465,34 @@ def _fold_halo_s2d_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
     out = out.reshape(b, n_ty, bins, th // 2, 2, width // 2, 2)
     out = jnp.transpose(out, (0, 1, 3, 5, 4, 6, 2))
     return out.reshape(b, height // 2, width // 2, 4 * bins).astype(dt)
+
+
+def _fold_halo_s4d_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
+                       height: int, width: int) -> jax.Array:
+    """Halo fold + 4x4 space-to-depth via the same selection matmuls as
+    :func:`_fold_halo_s2d_mxu`: emits (B, H/4, W/4, 16*bins), channel
+    (r*4 + s)*bins + c — the quad-block rollout's window layout. The wider
+    16*bins channel tail also quarters the lane-padding waste of the
+    (…, 4*bins) s2d form (20 -> 128 pad vs 80 -> 128 on v5e tiling)."""
+    b, n_ty = tiles.shape[:2]
+    th, tw = tile_h, TILE_W
+    n_tx = width // tw
+    A, Ah, B = _fold_matrices(bins, tile_h, n_tx)
+    dt = tiles.dtype
+    A = jnp.asarray(A, dt)
+    Ah = jnp.asarray(Ah, dt)
+    B = jnp.asarray(B, dt)
+    rows = bins * (th + 1)
+    own = tiles[:, :, :rows]
+    up = jnp.pad(own[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    out = (jnp.einsum("pr,btrc,cq->btpq", A, own, B,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("pr,btrc,cq->btpq", Ah, up, B,
+                        preferred_element_type=jnp.float32))
+    # (b, ty, c*th + 4*hh + r, 4*(tx*tw/4 + ww) + s) -> s4d
+    out = out.reshape(b, n_ty, bins, th // 4, 4, width // 4, 4)
+    out = jnp.transpose(out, (0, 1, 3, 5, 4, 6, 2))
+    return out.reshape(b, height // 4, width // 4, 16 * bins).astype(dt)
 
 
 def _fold_halo_s2d_v2(tiles: jax.Array, *, bins: int, tile_h: int,

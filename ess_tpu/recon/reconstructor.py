@@ -81,6 +81,7 @@ class Reconstructor:
             num_encoders=self.model.num_encoders,
             base_channels=self.model.base_channels,
             recurrent_block=self.model.recurrent_block,
+            quad_block=self._use_blocks and self.model.quad_block,
             dtype=dtype or self.model.dtype,
         )
 
@@ -98,7 +99,8 @@ class Reconstructor:
             g = self.geometry
             assert self._use_blocks and not self.flip
             assert (g.padded_height, g.padded_width) == (self.height, self.width)
-            assert events.shape[1:3] == (self.height // 2, self.width // 2)
+            d = 4 if self.model.quad_block else 2
+            assert events.shape[1:3] == (self.height // d, self.width // d)
             if self.normalize:
                 # nonzero-standardization is layout-invariant (same value set)
                 events = jax.vmap(normalize_nonzero)(events)
@@ -113,9 +115,10 @@ class Reconstructor:
         x = preprocess_event_tensor(events, normalize=self.normalize, flip=self.flip)
         x = reflect_pad(x, self.geometry)
         if self._use_blocks:
-            from ess_tpu.ops.conv_s2d import space_to_depth
+            from ess_tpu.ops.conv_s2d import space_to_depth, space_to_depth4
+            s2d = space_to_depth4 if self.model.quad_block else space_to_depth
             img, new_state, latent = self.model.apply(
-                {"params": params}, space_to_depth(x), state, decode=decode,
+                {"params": params}, s2d(x), state, decode=decode,
                 block_input=True)
         else:
             img, new_state, latent = self.model.apply(

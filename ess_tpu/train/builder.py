@@ -103,10 +103,18 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     # The train rollout may run a different (e.g. int8) ConvLSTM cell than
     # eval: a sibling module definition with the same parameter tree.
     e2vid_train = e2vid
+    train_impl = e2vid.lstm_impl
     if m.lstm_impl_train is not None:
         train_impl = resolve_lstm_impl(m.lstm_impl_train)
-        if train_impl != e2vid.lstm_impl:
-            e2vid_train = e2vid.clone(lstm_impl=train_impl)
+    # Quad-block rollout for training: the head + first encoder evaluate at
+    # quarter resolution with 4x channel widths via exact-math weight
+    # remaps (models/e2vid.py quad_block). The 64-channel first level is
+    # the most MXU-hostile stage of the rollout; widening it measured the
+    # single largest round-3 step win on v5e. Eval keeps the standard
+    # layout (decode-heavy; parity tests pin its exact numerics).
+    quad = m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
+    if train_impl != e2vid.lstm_impl or quad:
+        e2vid_train = e2vid.clone(lstm_impl=train_impl, quad_block=quad)
     recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,
                                 normalize=False)
     recon_val = Reconstructor(model=e2vid, height=vh, width=vw,
@@ -198,8 +206,12 @@ def init_state(
     bins = cfg.dataset.sensor_b.input_channels
 
     if e2vid_params is None:
-        dummy = jnp.zeros((1, ph, pw, bins))
-        st = mods.recon_train.init_state(1)
+        # initialize through the EVAL model/geometry: the train model may
+        # roll out quad-block (differently-shaped recurrent state), but the
+        # parameter tree is identical — remaps happen at apply time
+        gv = mods.recon_val.geometry
+        dummy = jnp.zeros((1, gv.padded_height, gv.padded_width, bins))
+        st = mods.recon_val.init_state(1)
         e2vid_params = mods.e2vid.init(k_e2vid, dummy, st)["params"]
 
     base = mods.e2vid.base_channels

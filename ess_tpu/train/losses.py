@@ -152,10 +152,25 @@ def symmetric_js_divergence(p_logits: jax.Array, q_logits: jax.Array) -> jax.Arr
     Mirrors symJSDivLoss (loss_functions.py:27-37) exactly, including torch
     KLDivLoss's legacy 'mean' reduction (divide by element count, not batch)
     and the min=1e-10 clamp before the log.
+
+    Large NHWC logits take the same class-on-sublane path as task_loss:
+    with a tiny class dim minor the softmax/log/mul chain is lane-padded
+    C -> 128 on TPU (the UDA cycle losses run this at full 440x640
+    resolution twice per step); one transpose to (C, N) makes every pass
+    compact. Same f32 math either way.
     """
-    p = jnp.clip(jax.nn.softmax(p_logits.astype(jnp.float32), axis=-1),
+    if p_logits.ndim == 4 and p_logits.shape[-1] <= 32 and (
+            p_logits.shape[0] * p_logits.shape[1] * p_logits.shape[2]
+            >= 1 << 20):
+        c = p_logits.shape[-1]
+        p_logits = jnp.transpose(p_logits.reshape(-1, c))      # (C, N)
+        q_logits = jnp.transpose(q_logits.reshape(-1, c))
+        axis = 0
+    else:
+        axis = -1
+    p = jnp.clip(jax.nn.softmax(p_logits.astype(jnp.float32), axis=axis),
                  1e-10, None)
-    q = jnp.clip(jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1),
+    q = jnp.clip(jax.nn.softmax(q_logits.astype(jnp.float32), axis=axis),
                  1e-10, None)
     kl_qp = jnp.mean(q * (jnp.log(q) - jnp.log(p)))  # KLDivLoss(log p, q)
     kl_pq = jnp.mean(p * (jnp.log(p) - jnp.log(q)))

@@ -50,20 +50,23 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
         if precompute:
             g = recon.geometry
             cfg = pipeline.cfg
+            quad = recon.model.quad_block
             use_s2d = (
                 pipeline.s2d_capable(train=train) and recon._use_blocks
                 and not recon.flip
+                and (not quad or pipeline.s4d_capable(train=train))
                 and (g.padded_height, g.padded_width)
                 == (recon.height, recon.width)
                 and cfg.output_size(train) == (recon.height, recon.width))
             if use_s2d:
-                # voxelizer folds straight to space-to-depth bf16 blocks;
-                # the scan never pays the per-window s2d transpose.
-                # (time_major=True was measured 373 vs 383 windows/s here —
-                # the scan's strided window gather is cheaper than the
-                # prefix-slice materialization the t-major layout induces.)
+                # voxelizer folds straight to space-to-depth bf16 blocks
+                # (4x4 quad blocks when the model rolls out quad-block);
+                # the scan never pays a per-window layout transpose, and
+                # time-major storage makes the window slice a contiguous
+                # leading-axis block (measured +16 windows/s round 3).
                 grids, labels = pipeline.build_all(
-                    batch, rng, train=train, layout="s2d",
+                    batch, rng, train=train,
+                    layout="s4d" if quad else "s2d",
                     out_dtype=recon.model.dtype, time_major=True)
                 img, _, latent = recon.rollout(
                     state.e2vid_params, grids, windows_s2d=True,
