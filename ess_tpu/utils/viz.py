@@ -139,6 +139,85 @@ def confusion_matrix_figure(cm: np.ndarray, class_names: Sequence[str],
     return fig
 
 
+def draw_bounding_box(
+    image: np.ndarray, box: Sequence[int], *,
+    class_name: Optional[str] = None, ground_truth: bool = False,
+) -> np.ndarray:
+    """Draw one [y, x, height, width] box outline in an (H, W, 3) image.
+
+    Capability parity with the DSEC dataset tooling's drawBoundingBox
+    (/root/reference/DSEC/utils/viz_utils.py:131-168): cyan for ground
+    truth, magenta for predictions; the optional class label is rendered
+    via cv2 when available (gated import — label text is cosmetic).
+    """
+    img = image.astype(np.float32).copy()
+    color = np.array([0.0, 1.0, 1.0] if ground_truth else [1.0, 0.0, 1.0],
+                     np.float32)
+    y, x, h, w = (int(v) for v in box[:4])
+    y2, x2 = min(y + h, img.shape[0] - 1), min(x + w, img.shape[1] - 1)
+    img[y, x:x2] = color
+    img[y:y2, x2] = color
+    img[y2, x:x2] = color
+    img[y:y2, x] = color
+    if class_name:
+        try:
+            import cv2
+            cv2.putText(img, class_name, (x + 1, y2 - 2),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1,
+                        cv2.LINE_AA)
+        except Exception:
+            pass  # text overlay is cosmetic; the box itself is drawn
+    return img
+
+
+def draw_bounding_boxes(
+    image: np.ndarray, boxes: np.ndarray, *,
+    class_names: Optional[Sequence[str]] = None, ground_truth: bool = True,
+) -> np.ndarray:
+    """Draw [y, x, height, width] boxes until the first all-zero row
+    (drawBoundingBoxes, DSEC/utils/viz_utils.py:105-128 semantics)."""
+    img = image.astype(np.float32)
+    for i, box in enumerate(np.asarray(boxes)):
+        if np.sum(box) == 0:
+            break
+        img = draw_bounding_box(
+            img, box, class_name=class_names[i] if class_names else None,
+            ground_truth=ground_truth)
+    return img
+
+
+def flow_rgb(flow_n2hw: np.ndarray) -> np.ndarray:
+    """(N, 2, H, W) flow maps -> (N, 3, H, W) float RGB in [0, 1].
+
+    HSV direction/magnitude encoding matching visualizeFlow
+    (DSEC/utils/viz_utils.py:171-188): hue = angle, value = per-sample
+    min-max-normalized magnitude, full saturation — in pure numpy (no cv2
+    dependency; colorsys-equivalent HSV->RGB math).
+    """
+    flow = np.asarray(flow_n2hw, np.float32)
+    n, _, h, w = flow.shape
+    out = np.zeros((n, 3, h, w), np.float32)
+    for i in range(n):
+        fx, fy = flow[i, 0], flow[i, 1]
+        mag = np.hypot(fx, fy)
+        ang = np.arctan2(fy, fx) % (2 * np.pi)
+        hue = ang / (2 * np.pi) * 6.0                       # [0, 6)
+        lo, hi = float(mag.min()), float(mag.max())
+        v = (mag - lo) / (hi - lo) if hi > lo else np.zeros_like(mag)
+        c = v                                               # s = 1
+        ximg = c * (1.0 - np.abs(hue % 2.0 - 1.0))
+        z = np.zeros_like(c)
+        sector = np.floor(hue).astype(np.int32) % 6
+        rgb = np.select(
+            [sector == 0, sector == 1, sector == 2,
+             sector == 3, sector == 4, sector == 5],
+            [np.stack([c, ximg, z]), np.stack([ximg, c, z]),
+             np.stack([z, c, ximg]), np.stack([z, ximg, c]),
+             np.stack([ximg, z, c]), np.stack([c, z, ximg])])
+        out[i] = rgb
+    return out
+
+
 def count_params(pytree) -> int:
     """Total parameter count of a pytree (BaseModel.summary capability,
     e2vid/base/base_model.py:14-30)."""

@@ -53,3 +53,40 @@ def test_confusion_figure():
     # None is acceptable when matplotlib is missing; otherwise a figure
     if fig is not None:
         assert hasattr(fig, "savefig")
+
+
+def test_draw_bounding_boxes():
+    from ess_tpu.utils.viz import draw_bounding_boxes
+
+    img = np.zeros((20, 30, 3), np.float32)
+    boxes = np.array([[2, 3, 5, 8], [0, 0, 0, 0], [9, 9, 4, 4]])
+    out = draw_bounding_boxes(img, boxes, ground_truth=True)
+    # first box drawn in cyan
+    assert np.allclose(out[2, 3:11], [0, 1, 1])
+    assert np.allclose(out[2:7, 3], [0, 1, 1])
+    # drawing stops at the first all-zero box: the third box is NOT drawn
+    assert np.allclose(out[9, 9:13], 0)
+    pred = draw_bounding_boxes(img, boxes[:1], ground_truth=False)
+    assert np.allclose(pred[2, 3:11], [1, 0, 1])  # magenta
+
+
+def test_flow_rgb():
+    from ess_tpu.utils.viz import flow_rgb
+
+    h = w = 8
+    flow = np.zeros((1, 2, h, w), np.float32)
+    flow[0, 0] = 1.0  # uniform +x flow
+    rgb = flow_rgb(flow)
+    assert rgb.shape == (1, 3, h, w)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # opposite directions get different colors (min-max value normalization
+    # needs a magnitude spread: a zero corner anchors the minimum)
+    flow2 = np.zeros((1, 2, h, w), np.float32)
+    flow2[0, 0, :, : w // 2] = 1.0
+    flow2[0, 0, :, w // 2:] = -1.0
+    flow2[0, :, 0, 0] = 0.0
+    rgb2 = flow_rgb(flow2)
+    assert not np.allclose(rgb2[0, :, 2, 0], rgb2[0, :, 2, -1])
+    # +x maps to the red sector, -x to blue (hue = angle)
+    assert rgb2[0, 0, 2, 0] > rgb2[0, 2, 2, 0]
+    assert rgb2[0, 2, 2, -1] > rgb2[0, 0, 2, -1]
