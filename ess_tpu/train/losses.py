@@ -155,9 +155,10 @@ def symmetric_js_divergence(p_logits: jax.Array, q_logits: jax.Array) -> jax.Arr
 
     Large NHWC logits take the same class-on-sublane path as task_loss:
     with a tiny class dim minor the softmax/log/mul chain is lane-padded
-    C -> 128 on TPU (the UDA cycle losses run this at full 440x640
-    resolution twice per step); one transpose to (C, N) makes every pass
-    compact. Same f32 math either way.
+    C -> 128 on TPU; one transpose to (C, N) makes every pass compact.
+    Same f32 math either way. (Measured ~neutral end-to-end at DSEC UDA
+    scale — XLA fuses the padded chain well here — kept for parity with
+    task_loss's proven layout and for larger class counts.)
     """
     if p_logits.ndim == 4 and p_logits.shape[-1] <= 32 and (
             p_logits.shape[0] * p_logits.shape[1] * p_logits.shape[2]
