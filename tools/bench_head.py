@@ -13,9 +13,17 @@ outer dim, whose lowering cost is unknown. This probe times the variants:
   nchw   : Pallas, dot_general((N, K), (K, M)) -> NCHW out
 
 Each fuses the per-window nonzero-normalize apply. 20-call chain.
+
+OUTCOME (round 3, recorded so nobody retries): `nchw` violates the Pallas
+block constraint (last-two block dims must be (8,128)-divisible or full —
+220 has no 8-divisible row tile); `tform` with a full-image input block
+crashes the axon remote compiler (tpu_compile_helper exit 1) on the
+(180, th, W) -> (180, th*W) scratch reshape + dim-0-contracting dot. The
+C-major head-conv line was dropped; the quad-block rollout
+(models/e2vid.py) attacks the same lane-padding problem with exact-math
+weight remaps instead.
 """
 
-import functools
 import os
 import sys
 import time
