@@ -85,6 +85,9 @@ def main(argv=None) -> None:
     else:
         reader = FixedSizeEventReader(args.input_file, args.window_size or 10000)
 
+    from ess_tpu.ops.voxel import normalize_nonzero
+    norm_fn = jax.jit(normalize_nonzero)
+
     @jax.jit
     def step_fn(params, grid, state):
         return recon.step(params, grid, state)
@@ -124,7 +127,18 @@ def main(argv=None) -> None:
             jnp.asarray(p, jnp.float32)[None],
             jnp.ones((1, len(x)), bool),
             num_bins=args.num_bins, height=height, width=width,
-            normalize=args.normalize)
+            normalize=False)
+        if args.display and args.show_events:
+            # the reference previews the RAW event tensor
+            # (run_reconstruction.py:98 passes it pre-normalization;
+            # normalization happens inside ImageReconstructor) — and a
+            # device->host grid fetch costs ~25-60 ms/window on a tunneled
+            # chip, so only pay it when a window is actually shown
+            preview = np.moveaxis(np.asarray(grid[0, :height, :width]), -1, 0)
+        else:
+            preview = None
+        if args.normalize:
+            grid = norm_fn(grid)
         img, state, _ = step_fn(params, grid, state)
         frame = np.asarray(img[0, :height, :width, 0])
         frame8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
@@ -146,8 +160,7 @@ def main(argv=None) -> None:
             cv2.imwrite(out_path, frame8)
         else:
             frame8.tofile(out_path + ".raw")
-        display(frame8, np.moveaxis(
-            np.asarray(grid[0, :height, :width]), -1, 0))
+        display(frame8, preview)
         print(f"window {i}: {len(x)} events -> {out_path}")
 
 

@@ -83,6 +83,7 @@ class BatchLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         collate_buffers: int = 0,
+        prefetch_size: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -100,12 +101,14 @@ class BatchLoader:
         if collate_buffers:
             # prefetch_to_device(size=d) holds d device-bound batches plus
             # one mid-transfer, so a recycled buffer may still be read until
-            # d+1 batches later. d defaults to 2 => minimum safe ring is 4.
-            assert collate_buffers >= 4, (
+            # d+1 batches later. ``prefetch_size`` declares the consumer's
+            # actual d (pass it alongside collate_buffers); minimum safe
+            # ring is d + 2.
+            assert collate_buffers >= prefetch_size + 2, (
                 "collate_buffers ring too shallow: a buffer is rewritten "
-                "after N batches while prefetch keeps size+1 batches in "
-                "flight; use N >= prefetch_size + 2 (>= 4 for the default "
-                "prefetch_to_device(size=2)) or 0 for fresh allocations")
+                "after N batches while prefetch keeps prefetch_size+1 "
+                "batches in flight; use N >= prefetch_size + 2 or 0 for "
+                "fresh allocations")
         self.collate_buffers = collate_buffers
         self._ring: list = []
         self._ring_i = 0

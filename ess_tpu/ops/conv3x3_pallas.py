@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ess_tpu.ops.conv_lstm_pallas import (
-    _halo_rows, _round_up, pick_row_tile)
+    _halo_rows, _round_up, im2row_3x3, pick_row_tile, quant_cols)
 
 
 def conv3x3_ref(x: jax.Array, kernel: jax.Array,
@@ -64,20 +64,7 @@ def _conv_kernel(TH, W, WP, CIN, COUT, int8, relu,
     V[0:1] = quant(xh_blk[0, 0, 0:1])
     V[1:TH + 1] = quant(x_blk[0])
     V[TH + 1:TH + 2] = quant(xh_blk[0, 0, 1:2])
-    Vv = V[:]
-
-    for dy in range(3):
-        rows = Vv[dy:dy + TH]                      # (TH, W, CIN)
-        for dx in range(3):
-            cs = slice((dy * 3 + dx) * CIN, (dy * 3 + dx + 1) * CIN)
-            if dx == 0:
-                F[:, 0:1, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
-                F[:, 1:W, cs] = rows[:, 0:W - 1]
-            elif dx == 1:
-                F[:, 0:W, cs] = rows
-            else:
-                F[:, 0:W - 1, cs] = rows[:, 1:W]
-                F[:, W - 1:W, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+    im2row_3x3(F, V[:], TH, W, CIN)
 
     acc = jax.lax.dot_general(
         F[:].reshape(TH * WP, 9 * CIN), w_ref[:],
@@ -94,10 +81,7 @@ def _conv_kernel(TH, W, WP, CIN, COUT, int8, relu,
 def _quantize_weights(w2: jax.Array, s_x: jax.Array):
     """Fold the input scale into the (9*CIN, COUT) tap matrix and quantize
     per output channel: W~ = W * s_x ~= wq * ws[n] (int8, f32)."""
-    wfold = w2.astype(jnp.float32) * s_x
-    ws = jnp.maximum(jnp.max(jnp.abs(wfold), axis=0), 1e-20) / 127.0
-    wq = jnp.clip(jnp.round(wfold / ws), -127, 127).astype(jnp.int8)
-    return wq, ws
+    return quant_cols(w2.astype(jnp.float32) * s_x)
 
 
 def _pallas_conv(x, kernel, bias, *, th, relu, int8, interpret):

@@ -67,6 +67,38 @@ def pick_row_tile(height: int, lo: int = 2, hi: int = 24) -> Optional[int]:
     return min(cands, key=lambda t: (abs(t - 22), -t))
 
 
+def im2row_3x3(F, src, TH, W, CIN, base=0):
+    """Write the nine (dy, dx) shifted copies of ``src`` (TH+2, W, CIN) into
+    the im2row buffer ``F`` (TH, WP, 9*CIN_total) starting at channel
+    ``base``, with zero columns at the image edges (SAME padding).
+
+    Shared by every im2row Pallas kernel here (the fused cell,
+    ops/conv3x3_pallas, ops/level_pallas) — a trace-time Python helper, so
+    the emitted Mosaic IR is identical to the inlined loop.
+    """
+    for dy in range(3):
+        rows = src[dy:dy + TH]                     # (TH, W, CIN)
+        for dx in range(3):
+            cs = slice(base + (dy * 3 + dx) * CIN,
+                       base + (dy * 3 + dx + 1) * CIN)
+            if dx == 0:
+                F[:, 0:1, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+                F[:, 1:W, cs] = rows[:, 0:W - 1]
+            elif dx == 1:
+                F[:, 0:W, cs] = rows
+            else:
+                F[:, 0:W - 1, cs] = rows[:, 1:W]
+                F[:, W - 1:W, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+
+
+def quant_cols(w2: jax.Array):
+    """(K, N) f32 -> per-output-channel int8 weights + f32 column scales
+    (absmax/127 per column; any input-scale folding happens before this)."""
+    ws = jnp.maximum(jnp.max(jnp.abs(w2), axis=0), 1e-20) / 127.0
+    wq = jnp.clip(jnp.round(w2 / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
+
+
 def prepare_gate_weights(kernel: jax.Array, dtype) -> jax.Array:
     """(3, 3, CIN, 4*CH) conv kernel -> (9*CIN, 4*CH) im2row tap matrix.
 
@@ -136,18 +168,7 @@ def _fused_kernel(TH, W, WP, CX, CH, int8,
     # (dy, dx), so the whole conv is ONE deep matmul — the accumulator is
     # produced exactly once by the MXU (no per-tap partial-product
     # round-trips through VMEM, which dominated the 3-dot variant).
-    for dy in range(3):
-        rows = Vv[dy:dy + TH]                      # (TH, W, CIN)
-        for dx in range(3):
-            cs = slice((dy * 3 + dx) * CIN, (dy * 3 + dx + 1) * CIN)
-            if dx == 0:
-                F[:, 0:1, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
-                F[:, 1:W, cs] = rows[:, 0:W - 1]
-            elif dx == 1:
-                F[:, 0:W, cs] = rows
-            else:
-                F[:, 0:W - 1, cs] = rows[:, 1:W]
-                F[:, W - 1:W, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
+    im2row_3x3(F, Vv, TH, W, CIN)
 
     acc = jax.lax.dot_general(
         F[:].reshape(TH * WP, 9 * CIN), w_ref[:],
@@ -179,10 +200,7 @@ def quantize_gate_weights(kernel: jax.Array, s_x: jax.Array,
     is_x = jnp.tile(jnp.concatenate(
         [jnp.ones((cx,), bool), jnp.zeros((ch,), bool)]), 9)
     row_scale = jnp.where(is_x, s_x, 1.0 / 127.0)
-    wfold = w2 * row_scale[:, None]
-    ws = jnp.maximum(jnp.max(jnp.abs(wfold), axis=0), 1e-20) / 127.0
-    wq = jnp.clip(jnp.round(wfold / ws), -127, 127).astype(jnp.int8)
-    return wq, ws
+    return quant_cols(w2 * row_scale[:, None])
 
 
 def _halo_rows(a: jax.Array, th: int) -> jax.Array:

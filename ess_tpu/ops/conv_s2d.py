@@ -114,6 +114,14 @@ def block_kernel(kernel: jax.Array, *, bi: int, bo: int,
     imax = stride * (bo - 1) + k - 1 - pad
     dymin = imin // bi
     kb = imax // bi - dymin + 1
+    # The blocked conv is applied with SAME padding, which pads
+    # lo = (kb-1)//2 — matching this remap's assumed pad_lo = -dymin only
+    # for odd kb. Even-kb configs (e.g. k=5, bi=4, bo=1, stride=4) would
+    # silently shift every tap by one block; reject them loudly.
+    assert kb % 2 == 1 and -dymin == kb // 2, (
+        f"block_kernel remap needs odd block-kernel size with centred "
+        f"support (kb={kb}, dymin={dymin}); this (k={k}, bi={bi}, bo={bo}, "
+        f"stride={stride}) combination requires explicit conv padding")
     # gather index into the kernel axis; K = the appended zero row (taps
     # that fall outside the kernel support)
     idx = np.full((kb, bi, bo), k, np.int64)

@@ -40,7 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ess_tpu.ops.conv_lstm_pallas import _round_up, conv_lstm_ref, pick_row_tile
+from ess_tpu.ops.conv_lstm_pallas import (
+    _round_up, conv_lstm_ref, im2row_3x3, pick_row_tile, quant_cols)
 from ess_tpu.ops.conv_s2d import s2d_kernel_stride2
 
 
@@ -62,24 +63,6 @@ def _halo_rows_d(a: jax.Array, th: int, d: int) -> jax.Array:
 def _quant_i8(v, inv_s):
     return jnp.clip(jnp.round(v.astype(jnp.float32) * inv_s),
                     -127, 127).astype(jnp.int8)
-
-
-def _im2row_3x3(F, src, TH, W, CIN, base):
-    """Write the nine (dy, dx) shifted copies of ``src`` (TH+2, W, CIN)
-    into ``F`` (TH, WP, 9*CIN) starting at channel ``base``."""
-    for dy in range(3):
-        rows = src[dy:dy + TH]
-        for dx in range(3):
-            cs = slice(base + (dy * 3 + dx) * CIN,
-                       base + (dy * 3 + dx + 1) * CIN)
-            if dx == 0:
-                F[:, 0:1, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
-                F[:, 1:W, cs] = rows[:, 0:W - 1]
-            elif dx == 1:
-                F[:, 0:W, cs] = rows
-            else:
-                F[:, 0:W - 1, cs] = rows[:, 1:W]
-                F[:, W - 1:W, cs] = jnp.zeros((TH, 1, CIN), F.dtype)
 
 
 def _level_kernel(TH, WO, WOP, CU, CH, u_s2d,
@@ -121,7 +104,7 @@ def _level_kernel(TH, WO, WOP, CU, CH, u_s2d,
                     u4[:, r, :, s, :], inv_su)
 
     # ---- encoder conv: one deep int8 dot over the 3x3 s2d taps ---------
-    _im2row_3x3(Fe, Vs[:], TH + 2, WO, CU, 0)
+    im2row_3x3(Fe, Vs[:], TH + 2, WO, CU, 0)
     acc_e = jax.lax.dot_general(
         Fe[:].reshape((TH + 2) * WOP, 9 * CU), we_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -142,12 +125,12 @@ def _level_kernel(TH, WO, WOP, CU, CH, u_s2d,
     amax_x = jnp.maximum(jnp.max(x), 1e-6)   # x >= 0 after relu
     inv_sx = 127.0 / amax_x
     Xq[:] = _quant_i8(x, inv_sx)
-    _im2row_3x3(Fg, Xq[:], TH, WO, CH, 0)
+    im2row_3x3(Fg, Xq[:], TH, WO, CH, 0)
     # h rows r0-1..r0+TH from the depth-1 halo + block
     Vs[0:1, :, 0:CH] = _quant_i8(hh_blk[0, 0, 0:1], 127.0)
     Vs[1:TH + 1, :, 0:CH] = _quant_i8(h_blk[0], 127.0)
     Vs[TH + 1:TH + 2, :, 0:CH] = _quant_i8(hh_blk[0, 0, 1:2], 127.0)
-    _im2row_3x3(Fg, Vs[0:TH + 2, :, 0:CH], TH, WO, CH, 9 * CH)
+    im2row_3x3(Fg, Vs[0:TH + 2, :, 0:CH], TH, WO, CH, 9 * CH)
 
     acc_x = jax.lax.dot_general(
         Fg[:, :, 0:9 * CH].reshape(TH * WOP, 9 * CH), wx_ref[:],
@@ -174,13 +157,6 @@ def _level_kernel(TH, WO, WOP, CU, CH, u_s2d,
     cout_ref[0] = c_new.astype(cout_ref.dtype)
 
 
-def _quant_cols(w2: jax.Array):
-    """(K, N) f32 -> per-output-channel int8 weights + f32 column scales."""
-    ws = jnp.maximum(jnp.max(jnp.abs(w2), axis=0), 1e-20) / 127.0
-    wq = jnp.clip(jnp.round(w2 / ws), -127, 127).astype(jnp.int8)
-    return wq, ws
-
-
 def _level_forward(u, h_prev, c_prev, enc_kernel, enc_bias,
                    gate_kernel, gate_bias, *, th, u_s2d, interpret):
     B = u.shape[0]
@@ -192,10 +168,10 @@ def _level_forward(u, h_prev, c_prev, enc_kernel, enc_bias,
     # weight prep (tiny XLA ops, per call)
     we2 = s2d_kernel_stride2(enc_kernel).astype(jnp.float32)
     CU = we2.shape[2]                                  # 4 * C_in
-    we_q, wse = _quant_cols(we2.reshape(9 * CU, CH))
+    we_q, wse = quant_cols(we2.reshape(9 * CU, CH))
     gk = gate_kernel.astype(jnp.float32)               # (3,3,2*CH,4*CH)
-    wx_q, wsx = _quant_cols(gk[:, :, :CH, :].reshape(9 * CH, 4 * CH))
-    wh_q, wsh = _quant_cols(gk[:, :, CH:, :].reshape(9 * CH, 4 * CH))
+    wx_q, wsx = quant_cols(gk[:, :, :CH, :].reshape(9 * CH, 4 * CH))
+    wh_q, wsh = quant_cols(gk[:, :, CH:, :].reshape(9 * CH, 4 * CH))
     sbe = jnp.stack([wse, enc_bias.astype(jnp.float32)])       # (2, CH)
     sbg = jnp.stack([wsx, wsh / 127.0,
                      gate_bias.astype(jnp.float32)])           # (3, 4*CH)

@@ -334,8 +334,16 @@ def voxelize_tiled(
             return _fold_halo_s4d_mxu(out, bins=bins, tile_h=tile_h,
                                       height=height, width=width)
         from ess_tpu.ops.conv_s2d import space_to_depth4
-        return space_to_depth4(_fold_halo_nhwc(
-            out, bins=bins, tile_h=tile_h, height=height, width=width))
+        nhwc = _fold_halo_nhwc(out, bins=bins, tile_h=tile_h,
+                               height=height, width=width)
+        if height % 4:
+            # the tile_h-padded kernel height need not be 4-aligned; pad
+            # zero rows so s2d blocking is legal — the caller crops to the
+            # (4-aligned) sensor height in block space, so pad rows never
+            # surface (width is always 128-aligned, hence 4-aligned)
+            nhwc = jnp.pad(nhwc, ((0, 0), (0, 4 - height % 4),
+                                  (0, 0), (0, 0)))
+        return space_to_depth4(nhwc)
     if layout == "s2d":
         if k == width // TILE_W and tile_h % 2 == 0:
             return _fold_halo_s2d_mxu(out, bins=bins, tile_h=tile_h,
@@ -436,12 +444,16 @@ def _fold_matrices(bins: int, tile_h: int, n_tx: int):
     return A, Ah, B
 
 
-def _fold_halo_s2d_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
-                       height: int, width: int) -> jax.Array:
-    """Halo fold + s2d via batched selection matmuls (see _fold_matrices):
-    the fold is linear, so the MXU applies it at matmul speed with exact
-    f32 accumulation; one final transpose emits the s2d channel order
-    (r*2+s)*bins + c."""
+def _fold_halo_blocked_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
+                           height: int, width: int,
+                           block: int) -> jax.Array:
+    """Halo fold + ``block`` x ``block`` space-to-depth via batched selection
+    matmuls (see _fold_matrices): the fold is linear, so the MXU applies it
+    at matmul speed with exact f32 accumulation; one final transpose emits
+    the blocked channel order (r*block + s)*bins + c. block=2 feeds the s2d
+    head conv; block=4 is the quad-block rollout's window layout, whose
+    wider 16*bins channel tail also quarters the lane-padding waste of the
+    (…, 4*bins) s2d form (20 -> 128 pad vs 80 -> 128 on v5e tiling)."""
     b, n_ty = tiles.shape[:2]
     th, tw = tile_h, TILE_W
     n_tx = width // tw
@@ -461,38 +473,22 @@ def _fold_halo_s2d_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
                       preferred_element_type=jnp.float32)
            + jnp.einsum("pr,btrc,cq->btpq", Ah, up, B,
                         preferred_element_type=jnp.float32))
-    # (b, ty, c*th + 2*hh + r, 2*(tx*tw/2 + ww) + s) -> s2d
-    out = out.reshape(b, n_ty, bins, th // 2, 2, width // 2, 2)
+    # (b, ty, c*th + blk*hh + r, blk*(tx*tw/blk + ww) + s) -> blocked s2d
+    blk = block
+    out = out.reshape(b, n_ty, bins, th // blk, blk, width // blk, blk)
     out = jnp.transpose(out, (0, 1, 3, 5, 4, 6, 2))
-    return out.reshape(b, height // 2, width // 2, 4 * bins).astype(dt)
+    return out.reshape(b, height // blk, width // blk,
+                       blk * blk * bins).astype(dt)
 
 
-def _fold_halo_s4d_mxu(tiles: jax.Array, *, bins: int, tile_h: int,
-                       height: int, width: int) -> jax.Array:
-    """Halo fold + 4x4 space-to-depth via the same selection matmuls as
-    :func:`_fold_halo_s2d_mxu`: emits (B, H/4, W/4, 16*bins), channel
-    (r*4 + s)*bins + c — the quad-block rollout's window layout. The wider
-    16*bins channel tail also quarters the lane-padding waste of the
-    (…, 4*bins) s2d form (20 -> 128 pad vs 80 -> 128 on v5e tiling)."""
-    b, n_ty = tiles.shape[:2]
-    th, tw = tile_h, TILE_W
-    n_tx = width // tw
-    A, Ah, B = _fold_matrices(bins, tile_h, n_tx)
-    dt = tiles.dtype
-    A = jnp.asarray(A, dt)
-    Ah = jnp.asarray(Ah, dt)
-    B = jnp.asarray(B, dt)
-    rows = bins * (th + 1)
-    own = tiles[:, :, :rows]
-    up = jnp.pad(own[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
-    out = (jnp.einsum("pr,btrc,cq->btpq", A, own, B,
-                      preferred_element_type=jnp.float32)
-           + jnp.einsum("pr,btrc,cq->btpq", Ah, up, B,
-                        preferred_element_type=jnp.float32))
-    # (b, ty, c*th + 4*hh + r, 4*(tx*tw/4 + ww) + s) -> s4d
-    out = out.reshape(b, n_ty, bins, th // 4, 4, width // 4, 4)
-    out = jnp.transpose(out, (0, 1, 3, 5, 4, 6, 2))
-    return out.reshape(b, height // 4, width // 4, 16 * bins).astype(dt)
+def _fold_halo_s2d_mxu(tiles, *, bins, tile_h, height, width):
+    return _fold_halo_blocked_mxu(tiles, bins=bins, tile_h=tile_h,
+                                  height=height, width=width, block=2)
+
+
+def _fold_halo_s4d_mxu(tiles, *, bins, tile_h, height, width):
+    return _fold_halo_blocked_mxu(tiles, bins=bins, tile_h=tile_h,
+                                  height=height, width=width, block=4)
 
 
 def _fold_halo_s2d_v2(tiles: jax.Array, *, bins: int, tile_h: int,

@@ -75,6 +75,12 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         if is_uda else None
     )
 
+    # The segmentation head decodes the scale-8 latent (SemSegE2VID,
+    # style_networks.py:9-107) — the reference's ESS only ever runs the
+    # 3-encoder E2VID. Fail here rather than with a KeyError at init.
+    assert m.e2vid_num_encoders == 3, (
+        "ESS training requires e2vid_num_encoders=3 (the segmentation head "
+        "consumes the scale-8 latent; reference parity)")
     head = SegmentationHead(
         num_classes=cfg.task.semseg_num_classes,
         input_features=m.e2vid_base_channels * 2 ** m.e2vid_num_encoders,
@@ -112,7 +118,11 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     # the most MXU-hostile stage of the rollout; widening it measured the
     # single largest round-3 step win on v5e. Eval keeps the standard
     # layout (decode-heavy; parity tests pin its exact numerics).
-    quad = m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
+    # num_encoders >= 2: the quad first level leaves its state in s2d form
+    # for the NEXT encoder to consume; with a single encoder the decoder
+    # would see 4x-wide channels at quarter resolution (shape mismatch).
+    quad = (m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
+            and m.e2vid_num_encoders >= 2)
     if train_impl != e2vid.lstm_impl or quad:
         e2vid_train = e2vid.clone(lstm_impl=train_impl, quad_block=quad)
     recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,

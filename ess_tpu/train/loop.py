@@ -365,7 +365,11 @@ class Trainer:
             s = m.summary()
             summary["train_stats_sensor_b_mean_iou"] = s["mean_iou"]
         for k, v in summary.items():
-            self.writer.scalar(f"train_stats/{k}", float(v), self.step_count)
+            # summary keys already carry the train_stats_ prefix; don't
+            # stutter it in the scalar tag (train_stats/sensor_a_mean_iou)
+            tag = k.removeprefix("train_stats_")
+            self.writer.scalar(f"train_stats/{tag}", float(v),
+                               self.step_count)
         return summary
 
     def run(self) -> dict:

@@ -129,3 +129,60 @@ def test_s4d_fold_matches_s2d(rng):
     np.testing.assert_allclose(np.asarray(g_s4d),
                                np.asarray(space_to_depth4(g_nhwc)),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_block_kernel_rejects_even_block_kernel(rng):
+    """SAME padding in the blocked conv assumes a centred odd block kernel;
+    even-kb combos (e.g. k=5, bi=4, bo=1, stride=4) would silently shift
+    every tap by one block — they must be rejected loudly."""
+    k5 = jnp.asarray(rng.normal(size=(5, 5, 3, 7)).astype(np.float32))
+    with pytest.raises(AssertionError, match="odd block-kernel"):
+        block_kernel(k5, bi=4, bo=1, stride=4)
+
+
+def test_quad_gate_requires_multiple_encoders():
+    """build_modules must not auto-enable quad_block for a 1-encoder model
+    (the s2d state would reach the decoder 4x wide), and ESS training
+    requires the 3-encoder E2VID outright (scale-8 seghead latent)."""
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.train.builder import build_modules
+
+    def cfg(n):
+        return Config(
+            dataset=DatasetConfig(
+                sensor_a=ImageDatasetConfig(shape=(32, 32)),
+                sensor_b=EventDatasetConfig(
+                    name="DSEC_events", shape=(32, 32), nr_events_data=2,
+                    nr_temporal_bins=5, nr_events_window=64)),
+            model=ModelConfig(model_name="ess_supervised",
+                              e2vid_num_encoders=n),
+            task=TaskConfig(semseg_num_classes=3),
+            optim=OptimConfig(batch_size_b=1))
+
+    with pytest.raises(AssertionError, match="e2vid_num_encoders=3"):
+        build_modules(cfg(1))
+    mods = build_modules(cfg(3))
+    assert mods.recon_train.model.quad_block
+
+
+def test_s4d_fallback_fold_odd_padded_height(rng):
+    """separate_pol temporal voxelization (bins_eff=10 -> tile_h=10) pads
+    height 48 to 50 — not 4-aligned — and must still fold to the exact s4d
+    blocks via the padded NHWC fallback."""
+    from ess_tpu.ops.batch_voxel import voxelize_window_soa
+
+    B, N, H, W = 1, 500, 48, 128
+    x = jnp.asarray(rng.uniform(0, W - 1, (B, N)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H - 1, (B, N)), jnp.float32)
+    t = jnp.asarray(np.sort(rng.uniform(0, 1, (B, N)), -1), jnp.float32)
+    p = jnp.asarray(rng.integers(0, 2, (B, N)), jnp.float32)
+    v = jnp.ones((B, N), bool)
+    kw = dict(num_bins=5, height=H, width=W, separate_pol=True,
+              trilinear=False, use_pallas=True, pallas_interpret=True)
+    g4 = voxelize_window_soa(x, y, t, p, v, layout="s4d", **kw)
+    ref = space_to_depth4(
+        voxelize_window_soa(x, y, t, p, v, layout="nhwc", **kw))
+    assert g4.shape == (B, H // 4, W // 4, 4 * 4 * 10)
+    np.testing.assert_array_equal(np.asarray(g4), np.asarray(ref))
