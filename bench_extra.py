@@ -14,6 +14,26 @@ import time
 
 import numpy as np
 
+# Per-config reference-baseline estimates (windows/s on the reference's
+# GPU-class hardware), anchored at bench.py's grounded 160 w/s DSEC
+# supervised estimate and scaled by MEASURED torch-CPU full-step compute
+# ratios on this host (tools/bench_torch_reference{,_uda}.py, identical
+# hardware/threads/assumptions per config — BASELINE.md records each
+# datum), capped at the config's ingest ceiling (the reference's
+# VoxelGrid.convert is events-proportional: 40 ms/100k-event window
+# single-thread => joblib-8 caps DSEC at ~200 w/s, DDD17's 32k windows at
+# ~625 w/s):
+#   DSEC supervised  0.19 w/s torch-CPU  -> 160 (the anchor)
+#   DSEC UDA         0.15 w/s (0.79x)    -> 126
+#   DDD17 supervised 1.21 w/s (6.4x)     -> min(1019, 625) = 625
+#   DDD17 UDA        1.81 w/s (9.5x)     -> min(1525, 625) = 625
+BASELINES = {
+    "DSEC_supervised": 160.0,
+    "DSEC_uda": 126.0,
+    "DDD17_supervised": 625.0,
+    "DDD17_uda": 625.0,
+}
+
 
 def make_event_batch(rng, b, t, n, sensor_h, sensor_w, label_hw, classes,
                      int_coords=False):
@@ -94,8 +114,10 @@ def bench_supervised(name, *, b, t, n, sensor, label_hw, classes, pipe_kw):
     batch["label"] = batch["label"]
     step = sup.make_train_step(mods, pipe)
     dt = time_step(step, state, batch)
+    base = BASELINES[name.split("_")[0] + "_supervised"]
     print(f"{name} supervised: {dt*1e3:.0f} ms/step -> "
-          f"{b*t/dt:.0f} windows/s", flush=True)
+          f"{b*t/dt:.0f} windows/s ({b*t/dt/base:.2f}x est. baseline "
+          f"{base:.0f})", flush=True)
 
 
 def bench_uda_dsec():
@@ -142,8 +164,9 @@ def bench_uda_dsec():
         state, losses = step(state, batch)
     float(losses["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"DSEC UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s",
-          flush=True)
+    base = BASELINES["DSEC_uda"]
+    print(f"DSEC UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s "
+          f"({b*t/dt/base:.2f}x est. baseline {base:.0f})", flush=True)
 
 
 def bench_uda_ddd17():
@@ -191,8 +214,9 @@ def bench_uda_ddd17():
         state, losses = step(state, batch)
     float(losses["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"DDD17 UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s",
-          flush=True)
+    base = BASELINES["DDD17_uda"]
+    print(f"DDD17 UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s "
+          f"({b*t/dt/base:.2f}x est. baseline {base:.0f})", flush=True)
 
 
 class _SyntheticDSEC:

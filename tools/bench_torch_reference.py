@@ -84,11 +84,23 @@ def train_step(e2vid, head, loss_fn, opt, windows, labels):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", nargs=4, type=int, default=[1, 5, 112, 160],
+                    metavar=("B", "T", "H", "W"))
+    ap.add_argument("--project", nargs=4, type=int,
+                    default=[B_FULL, T_FULL, H_FULL, W_FULL],
+                    metavar=("B", "T", "H", "W"))
+    ap.add_argument("--classes", type=int, default=11)
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
     torch.set_num_threads(os.cpu_count() or 1)
-    nc = 11
+    nc = args.classes
     e2vid, head, loss_fn, opt = build_reference(nc)
 
-    b, t_dim, h, w = 1, 5, 112, 160
+    b, t_dim, h, w = args.shape
+    bf, tf, hf, wf = args.project
     rng = np.random.default_rng(0)
     windows = torch.from_numpy(
         rng.normal(size=(b, t_dim, 5, h, w)).astype(np.float32))
@@ -103,21 +115,21 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     win_rate_small = b * t_dim / dt
-    scale = (B_FULL * T_FULL * H_FULL * W_FULL) / (b * t_dim * h * w)
+    scale = (bf * tf * hf * wf) / (b * t_dim * h * w)
     dt_full_proj = dt * scale
-    rate_full_proj = B_FULL * T_FULL / dt_full_proj
+    rate_full_proj = bf * tf / dt_full_proj
     print(f"measured: {dt*1e3:.0f} ms / step at B{b} T{t_dim} {h}x{w} "
           f"({win_rate_small:.1f} windows/s at the reduced shape)")
-    print(f"linear projection to B{B_FULL} T{T_FULL} {H_FULL}x{W_FULL}: "
+    print(f"linear projection to B{bf} T{tf} {hf}x{wf}: "
           f"{dt_full_proj:.1f} s/step = {rate_full_proj:.2f} windows/s "
           f"(torch-CPU, {torch.get_num_threads()} threads, excl. "
           "voxelization/IO)")
 
-    if "--full" in sys.argv:
+    if args.full:
         win1 = torch.from_numpy(
-            rng.normal(size=(1, 1, 5, H_FULL, W_FULL)).astype(np.float32))
+            rng.normal(size=(1, 1, 5, hf, wf)).astype(np.float32))
         lab1 = torch.from_numpy(
-            rng.integers(0, nc, (1, H_FULL, W_FULL)).astype(np.int64))
+            rng.integers(0, nc, (1, hf, wf)).astype(np.int64))
         train_step(e2vid, head, loss_fn, opt, win1, lab1)
         t0 = time.perf_counter()
         train_step(e2vid, head, loss_fn, opt, win1, lab1)
