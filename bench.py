@@ -119,9 +119,27 @@ def main() -> None:
     }
 
     # compile + warmup (fetch the loss scalar: on tunneled backends
-    # block_until_ready does not actually synchronize)
-    state, out = step(state, batch)
-    float(out["loss"])
+    # block_until_ready does not actually synchronize). The quad-block
+    # rollout's Pallas shapes are the newest compile surface; if a fresh
+    # toolchain rejects them, fall back to the standard rollout rather
+    # than lose the whole benchmark datum.
+    import sys
+
+    try:
+        state, out = step(state, batch)
+        float(out["loss"])
+    except Exception as e:  # pragma: no cover - toolchain-specific escape
+        import dataclasses
+
+        print(f"bench: quad-block rollout failed to compile/run ({e!r}); "
+              "retrying with quad_block_train=False", file=sys.stderr)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quad_block_train=False))
+        mods = build_modules(cfg)
+        state = init_state(mods, jax.random.PRNGKey(0))
+        step = sup.make_train_step(mods, pipeline)
+        state, out = step(state, batch)
+        float(out["loss"])
 
     # Steps chain through the donated TrainState, so dispatching the whole
     # run and fetching ONE final scalar measures the true sustained step

@@ -113,6 +113,12 @@ class ModelConfig:
     # double-rate MXU gates on the frozen forward-only rollout; validation
     # and eval keep the exact `lstm_impl` cell). None = same as lstm_impl.
     lstm_impl_train: Optional[str] = None
+    # Quad-block (s4d) train rollout: None = auto (on where the exact-math
+    # remap applies: no-norm ConvLSTM backbones with >= 2 encoders);
+    # True/False force. The escape hatch exists so deployments can pin the
+    # standard rollout without editing the builder (bench.py also uses it
+    # to fall back if a fresh toolchain rejects the quad kernel shapes).
+    quad_block_train: Optional[bool] = None
     # optional eval pass over the TRAIN sets each validation
     # (trainDatasetStatisticsEpoch, base_trainer.py:429-431/:473-498; the
     # reference's ESS trainers hard-disable it)
@@ -219,6 +225,11 @@ def _get(d: dict, key: str, default: Any) -> Any:
     return default if v in (None, "None") else v
 
 
+def _normalize_opt_bool(v: Any) -> Optional[bool]:
+    """tri-state YAML bool: None/'None' stays None, else plain bool."""
+    return None if v in (None, "None") else bool(v)
+
+
 def _parse_event_dataset(name: str, spec: dict) -> EventDatasetConfig:
     semseg_label_train = not name.startswith("DSEC")  # DSEC has no train labels
     return EventDatasetConfig(
@@ -301,6 +312,8 @@ def load_config(path_or_dict: str | dict) -> Config:
         head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
         lstm_impl=_get(model_raw, "lstm_impl", "auto"),
         lstm_impl_train=_get(model_raw, "lstm_impl_train", None) or None,
+        quad_block_train=_normalize_opt_bool(
+            _get(model_raw, "quad_block_train", None)),
         do_val_training_epoch=bool(
             _get(model_raw, "do_val_training_epoch", False)),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),

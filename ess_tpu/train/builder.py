@@ -123,6 +123,8 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     # would see 4x-wide channels at quarter resolution (shape mismatch).
     quad = (m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
             and m.e2vid_num_encoders >= 2)
+    if m.quad_block_train is not None:  # explicit pin wins over auto
+        quad = m.quad_block_train and quad  # True cannot force an illegal remap
     if train_impl != e2vid.lstm_impl or quad:
         e2vid_train = e2vid.clone(lstm_impl=train_impl, quad_block=quad)
     recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,

@@ -167,6 +167,37 @@ def test_quad_gate_requires_multiple_encoders():
     assert mods.recon_train.model.quad_block
 
 
+def test_quad_gate_explicit_pin():
+    """quad_block_train=False pins the standard rollout (the bench.py
+    compile-failure escape hatch); True cannot force an illegal remap."""
+    import dataclasses
+
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.train.builder import build_modules
+
+    base = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(32, 32)),
+            sensor_b=EventDatasetConfig(
+                name="DSEC_events", shape=(32, 32), nr_events_data=2,
+                nr_temporal_bins=5, nr_events_window=64)),
+        model=ModelConfig(model_name="ess_supervised"),
+        task=TaskConfig(semseg_num_classes=3),
+        optim=OptimConfig(batch_size_b=1))
+
+    pinned_off = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, quad_block_train=False))
+    assert not build_modules(pinned_off).recon_train.model.quad_block
+
+    # True on a norm'd backbone (remap illegal) must stay off
+    normed = dataclasses.replace(
+        base, model=dataclasses.replace(
+            base.model, e2vid_norm="batch", quad_block_train=True))
+    assert not build_modules(normed).recon_train.model.quad_block
+
+
 def test_s4d_fallback_fold_odd_padded_height(rng):
     """separate_pol temporal voxelization (bins_eff=10 -> tile_h=10) pads
     height 48 to 50 — not 4-aligned — and must still fold to the exact s4d
