@@ -100,6 +100,26 @@ def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:
     return (x - mean) * jax.lax.rsqrt(var + epsilon)
 
 
+def instance_norm_blocked(
+    x_blk: jax.Array, block: int, *, epsilon: float = 1e-5
+) -> jax.Array:
+    """:func:`instance_norm` of a space-to-depth tensor, in block space.
+
+    A channel c of the standard-layout tensor appears as ``block**2``
+    subpixel channels of the blocked one; its spatial statistics are
+    therefore the reduction over (H, W, subpixels) of the blocked tensor —
+    the identical value set, so the math matches :func:`instance_norm` of
+    the unfolded tensor exactly.
+    """
+    b, h, w, cblk = x_blk.shape
+    nsub = block * block
+    xg = x_blk.reshape(b, h, w, nsub, cblk // nsub)
+    mean = jnp.mean(xg, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + epsilon)
+    return xg.reshape(b, h, w, cblk)
+
+
 class _Im2ColConv(nn.Module):
     """Stride-1 conv evaluated as an explicit patch contraction.
 
@@ -153,9 +173,9 @@ class _Im2ColConv(nn.Module):
 
 
 class _BlockConv(nn.Module):
-    """5x5 conv evaluated on a space-to-depth (block) input.
+    """Odd-k conv evaluated on a space-to-depth (block) input.
 
-    Parameters are identical to nn.Conv's (5, 5, C_in, features) 'kernel' +
+    Parameters are identical to nn.Conv's (k, k, C_in, features) 'kernel' +
     'bias', so checkpoints interchange with every other impl; the kernel is
     remapped to block space at apply time (ops/conv_s2d.py block_kernel —
     exact math). ``in_block`` is the input's blocking factor (2 = s2d,
@@ -163,12 +183,19 @@ class _BlockConv(nn.Module):
     stride (out_block = in_block // strides), so strides=2 on an s2d input
     lands at half resolution unblocked, and on an s4d input lands at half
     resolution in s2d form — the layout the quad-block ConvLSTM consumes.
+
+    ``in_segments``: when the blocked input is a channel-concat of
+    SEPARATELY blocked operands (skip connections: ``[s2d(x) | s2d(skip)]``),
+    the per-segment channel widths — the kernel's input dim is permuted to
+    match (ops/conv_s2d.py segment_input_perm), keeping the concat free.
     """
 
     features: int
+    kernel_size: int = 5
     strides: int = 1
     use_bias: bool = True
     in_block: int = 2
+    in_segments: Optional[Tuple[int, ...]] = None
     # post-conv activation; fused into the Pallas kernel when impl != 'xla'
     activation: Optional[str] = None
     # 'xla' | 'pallas' | 'pallas_int8' (+ '_interpret'): ops/conv3x3_pallas
@@ -176,20 +203,26 @@ class _BlockConv(nn.Module):
     # DSEC scale, see train/builder.py); int8 is the frozen-rollout
     # double-rate path, same policy as ConvLSTMCell impl='pallas_int8'.
     impl: str = "xla"
+    kernel_init: Any = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_blk: jax.Array) -> jax.Array:
-        from ess_tpu.ops.conv_s2d import block_bias, block_kernel
+        from ess_tpu.ops.conv_s2d import (
+            block_bias, block_kernel, segment_input_perm)
 
         bi = self.in_block
         bo = bi // self.strides
         cin = x_blk.shape[-1] // (bi * bi)
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (5, 5, cin, self.features))
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         w2 = block_kernel(kernel, bi=bi, bo=bo, stride=self.strides)
+        if self.in_segments is not None:
+            assert sum(self.in_segments) == cin, (self.in_segments, cin)
+            w2 = w2[:, :, segment_input_perm(bi, self.in_segments), :]
         b2 = block_bias(bias, bo) if bias is not None else None
         if self.impl != "xla":
             from ess_tpu.ops.conv3x3_pallas import conv3x3_fused
@@ -245,7 +278,8 @@ class ConvLayer(nn.Module):
             # s4d form (block_space=4); params stay (5,5,C,features)
             assert self.kernel_size == 5 and self.norm is None, (
                 "block-space path supports 5x5 norm-free convs")
-            return _BlockConv(self.features, self.strides, use_bias=True,
+            return _BlockConv(self.features, strides=self.strides,
+                              use_bias=True,
                               in_block=4 if block_space == 4 else 2,
                               activation=self.activation,
                               impl=self.block_conv_impl,
@@ -537,7 +571,17 @@ def _gaussian_init(stddev: float = 0.02):
 
 class ReLUINSConv2d(nn.Module):
     """conv -> InstanceNorm(no affine) -> ReLU with N(0, 0.02) init
-    (style_networks.py:159-171)."""
+    (style_networks.py:159-171).
+
+    ``block_space`` (2 or 4): evaluate on a space-to-depth input — same
+    (k, k, C_in, features) params via the exact block-kernel remap, IN
+    statistics pooled over subpixels (instance_norm_blocked). This is the
+    seg-head's MXU fix: its scale-1/2 stages are narrow-channel convs at
+    full resolution (N=32 at 440x640 runs the MXU at 1/4 occupancy and the
+    logits' tiny class dim lane-pads C -> 128); blocked evaluation widens
+    both onto MXU tiles. ``in_segments`` supports concat-skip inputs built
+    as ``[blk(x) | blk(skip)]``.
+    """
 
     features: int
     kernel_size: int = 3
@@ -545,7 +589,18 @@ class ReLUINSConv2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, block_space: int | bool = False,
+                 in_segments: Optional[Tuple[int, ...]] = None) -> jax.Array:
+        if block_space:
+            bi = 4 if block_space == 4 else 2
+            assert self.strides == 1, "blocked IN conv is stride-1 only"
+            x = _BlockConv(
+                self.features, kernel_size=self.kernel_size,
+                use_bias=True, in_block=bi, in_segments=in_segments,
+                kernel_init=_gaussian_init(), dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+            return nn.relu(instance_norm_blocked(x, bi))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),

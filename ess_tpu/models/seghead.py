@@ -28,6 +28,7 @@ from flax import linen as nn
 from ess_tpu.models.layers import (
     INSResBlock,
     ReLUINSConv2d,
+    _BlockConv,
     skip_merge,
     upsample2x_nearest,
 )
@@ -37,7 +38,22 @@ Latent = Dict[int, jax.Array]
 
 
 class SegmentationHead(nn.Module):
-    """Multi-scale segmentation decoder over a {1,2,4,8} latent dict."""
+    """Multi-scale segmentation decoder over a {1,2,4,8} latent dict.
+
+    ``block_space=True`` (train-step fast path; requires ``skip_connect``)
+    evaluates the scale-2 stage in s2d form and the scale-1 stage in s4d
+    form — exact math via the block-kernel weight remaps, same params. Why:
+    those stages are the MXU-hostile half of the head (64->64 at 220x320
+    runs at half MXU occupancy, 64->32 at 440x640 at a quarter, and the
+    logits' class dim lane-pads 11 -> 128 on TPU so every full-res logits
+    pass moves ~12x its information content). Blocked, the convs contract
+    over 4x/16x wider channels, the nearest-2x upsamples become channel
+    broadcasts (no full-res intermediate is ever materialized), and the
+    logits emerge as (B, H/4, W/4, 16*C). Returned layouts then differ:
+    ``out[2]`` is s2d, ``out[1]`` is s4d — the train-step losses consume
+    them directly (elementwise/softmax losses are layout-invariant once
+    labels are folded to match; see train/losses.py fold helpers).
+    """
 
     num_classes: int
     input_features: int = 256
@@ -47,10 +63,13 @@ class SegmentationHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latent: Latent) -> Latent:
+    def __call__(self, latent: Latent, *, block_space: bool = False) -> Latent:
         tch = self.input_features
         x = latent[8].astype(self.dtype)
         out: Latent = {8: latent[8]}
+        assert not (block_space and not self.skip_connect), (
+            "block_space supports the skip_connect head (the production "
+            "config); the non-skip variant has no blocked path")
 
         if self.skip_connect:
             for i in range(5):
@@ -62,6 +81,34 @@ class SegmentationHead(nn.Module):
             x = ReLUINSConv2d(tch // 2, dtype=self.dtype, name="s2_a")(x)
             x = ReLUINSConv2d(tch // 4, dtype=self.dtype, name="s2_b")(x)
             out[4] = x
+
+            if block_space:
+                from ess_tpu.ops.conv_s2d import (
+                    space_to_depth, tile_upsample2x_s2d,
+                    tile_upsample2x_s2d_to_s4d)
+
+                cx, cs = x.shape[-1], latent[2].shape[-1]
+                x = tile_upsample2x_s2d(x)              # s2d of up2x(out[4])
+                skip = space_to_depth(latent[2].astype(x.dtype))
+                if self.skip_type == "sum":
+                    x = x + skip                        # aligned s2d layouts
+                    segs = None
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    segs = (cx, cs)
+                x = ReLUINSConv2d(tch // 4, dtype=self.dtype, name="s3_a")(
+                    x, block_space=2, in_segments=segs)
+                x = ReLUINSConv2d(tch // 4, dtype=self.dtype, name="s3_b")(
+                    x, block_space=2)
+                out[2] = x                              # s2d layout
+
+                x = tile_upsample2x_s2d_to_s4d(x)       # s4d of up2x(out[2])
+                x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(
+                    x, block_space=4)
+                x = _BlockConv(self.num_classes, kernel_size=1, in_block=4,
+                               dtype=self.dtype, name="logits")(x)
+                out[1] = x                              # s4d layout
+                return out
 
             x = upsample2x_nearest(x)
             x = skip_merge(self.skip_type, x, latent[2])

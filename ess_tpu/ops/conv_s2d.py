@@ -144,6 +144,59 @@ def block_bias(bias: jax.Array, bo: int) -> jax.Array:
     return jnp.tile(bias, bo * bo)
 
 
+def segment_input_perm(bi: int, segments: tuple) -> np.ndarray:
+    """Input-channel permutation for a concat of separately-blocked operands.
+
+    :func:`block_kernel` expects its input channel layout to be
+    ``(sub)*C_total + c`` — the blocking of the CONCATENATED tensor. When the
+    input is instead a channel-concat of separately space-to-depth'd
+    segments (``[s2d(a) | s2d(b)]``, the natural form for skip connections —
+    same trick as :func:`gates_kernel_s2d`'s x|h operand), gather the block
+    kernel's input dim with this permutation:
+    ``w_seg = w_blk[:, :, segment_input_perm(bi, (Ca, Cb)), :]``.
+    """
+    ctot = int(sum(segments))
+    nsub = bi * bi
+    perm = np.empty(nsub * ctot, np.int64)
+    base = 0   # offset in the actual concat-of-s2d layout
+    off = 0    # channel offset inside the blocked-concat layout
+    for seg in segments:
+        for sub in range(nsub):
+            a = base + sub * seg
+            perm[a:a + seg] = sub * ctot + off + np.arange(seg)
+        base += nsub * seg
+        off += seg
+    return perm
+
+
+def tile_upsample2x_s2d(x: jax.Array) -> jax.Array:
+    """Nearest-2x upsample emitted directly in s2d form — a channel tile.
+
+    ``s2d(up2x(x))[I, J, (r*2+s)*C + c] = up2x(x)[2I+r, 2J+s, c]
+    = x[I, J, c]`` for r, s in {0, 1}: every subpixel of the block equals the
+    source pixel, so the blocked upsample is ``jnp.tile(x, 4)`` — no spatial
+    op, no full-resolution tensor.
+    """
+    return jnp.tile(x, (1, 1, 1, 4))
+
+
+def tile_upsample2x_s2d_to_s4d(x_s2d: jax.Array) -> jax.Array:
+    """Nearest-2x upsample of an s2d tensor, emitted in s4d form.
+
+    Input: s2d of a (2h, 2w, C) tensor = (B, h, w, 4C). Output: s4d of its
+    nearest-2x (4h, 4w, C) = (B, h, w, 16C). Derivation: s4d channel
+    (r*4+s, c) at block (I, J) reads up[4I+r, 4J+s] = orig[2I + r//2,
+    2J + s//2] = x_s2d[I, J, ((r//2)*2 + s//2)*C + c] — a pure broadcast
+    of each s2d subchannel to a 2x2 group of s4d subchannels.
+    """
+    b, h, w, c4 = x_s2d.shape
+    c = c4 // 4
+    x = x_s2d.reshape(b, h, w, 2, 2, c)            # (r2, s2, c)
+    x = jnp.broadcast_to(x[:, :, :, :, None, :, None, :],
+                         (b, h, w, 2, 2, 2, 2, c))  # (r2, rr, s2, ss, c)
+    return x.reshape(b, h, w, 16 * c)
+
+
 def gates_kernel_s2d(kernel: jax.Array) -> jax.Array:
     """ConvLSTM gate-conv kernel -> its s2d-operand equivalent.
 

@@ -181,3 +181,29 @@ def symmetric_js_divergence(p_logits: jax.Array, q_logits: jax.Array) -> jax.Arr
 def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
     """Mean absolute error (the cycle-content loss, ess_trainer.py:29)."""
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+# ----------------------------------------------------------------------
+# Block-layout (s4d) loss adapters — the blocked SegmentationHead emits
+# logits as (B, H/4, W/4, 16*C) (models/seghead.py block_space). Softmax
+# losses only need the class dim minor and labels in the matching pixel
+# order; both adapters are pure reshapes/transposes of SMALL-minor tensors
+# (int labels / pre-pad logits), never the lane-padded full-res form.
+# ----------------------------------------------------------------------
+
+def s4d_logits_class_minor(logits_s4d: jax.Array, num_classes: int) -> jax.Array:
+    """(B, h, w, 16*C) s4d logits -> (B, h, w*16, C): classes minor, one
+    pseudo-pixel per subpixel. Pure reshape (the s4d channel layout is
+    (subpixel)*C + c, so the split is contiguous)."""
+    b, h, w, cc = logits_s4d.shape
+    assert cc == 16 * num_classes, (cc, num_classes)
+    return logits_s4d.reshape(b, h, w * 16, num_classes)
+
+
+def fold_labels_s4d(labels: jax.Array) -> jax.Array:
+    """(B, H, W) labels -> (B, H/4, (W/4)*16) in the s4d subpixel order,
+    matching :func:`s4d_logits_class_minor` of the blocked head's logits."""
+    b, hh, ww = labels.shape
+    x = labels.reshape(b, hh // 4, 4, ww // 4, 4)
+    x = x.transpose(0, 1, 3, 2, 4)          # (B, h, w, r, s)
+    return x.reshape(b, hh // 4, (ww // 4) * 16)

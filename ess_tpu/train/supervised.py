@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ess_tpu.data.pipeline import AugmentParams, EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
-from ess_tpu.train.losses import task_loss
+from ess_tpu.train.losses import (
+    fold_labels_s4d, s4d_logits_class_minor, task_loss)
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 
@@ -103,10 +104,25 @@ def make_train_step(
             mods, mods.recon_train, state, batch, pipeline, train=True, rng=rng)
         latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
 
+        # Blocked head evaluation (exact math, same params): the head's
+        # scale-1/2 stages and the lane-padded full-res logits are the
+        # train step's MXU/bandwidth sink — see models/seghead.py. Legal
+        # whenever the logits resolution (== label resolution here) tiles
+        # into 4x4 blocks.
+        lh, lw = labels.shape[1], labels.shape[2]
+        use_block = (mods.head.skip_connect and lh % 4 == 0 and lw % 4 == 0)
+        if use_block:
+            labels = fold_labels_s4d(labels)
+
         def loss_fn(back_params):
-            preds = mods.head.apply({"params": back_params}, latent)
+            preds = mods.head.apply({"params": back_params}, latent,
+                                    block_space=use_block)
+            logits = preds[1]
+            if use_block:
+                logits = s4d_logits_class_minor(
+                    logits, cfg.task.semseg_num_classes)
             return task_loss(
-                preds[1], labels,
+                logits, labels,
                 num_classes=cfg.task.semseg_num_classes,
                 ignore_label=cfg.task.semseg_ignore_label,
                 losses=cfg.optim.task_loss,

@@ -1,0 +1,130 @@
+"""Exact-equivalence tests for the blocked SegmentationHead evaluation.
+
+models/seghead.py ``block_space=True`` evaluates the scale-2 stage in s2d
+and the scale-1 stage in s4d via the block-kernel weight remaps
+(ops/conv_s2d.py) — the same parameters must produce the same values (up to
+layout) and the same gradients as the standard path, and the loss adapters
+(train/losses.py fold_labels_s4d / s4d_logits_class_minor) must make the
+task loss invariant to the layout.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ess_tpu.models.seghead import SegmentationHead
+from ess_tpu.ops.conv_s2d import (
+    space_to_depth, space_to_depth4, tile_upsample2x_s2d,
+    tile_upsample2x_s2d_to_s4d)
+from ess_tpu.train.losses import (
+    fold_labels_s4d, s4d_logits_class_minor, task_loss)
+
+
+B, H, W = 2, 32, 48
+NCLS = 11
+
+
+def _latent(rng):
+    return {
+        8: jnp.asarray(rng.normal(size=(B, H // 8, W // 8, 256)), jnp.float32),
+        4: jnp.asarray(rng.normal(size=(B, H // 4, W // 4, 128)), jnp.float32),
+        2: jnp.asarray(rng.normal(size=(B, H // 2, W // 2, 64)), jnp.float32),
+    }
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_tile_upsample2x_s2d(rng):
+    x = jnp.asarray(rng.normal(size=(1, 3, 5, 6)), jnp.float32)
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (1, 3, 2, 5, 2, 6))
+    up = up.reshape(1, 6, 10, 6)
+    np.testing.assert_array_equal(tile_upsample2x_s2d(x), space_to_depth(up))
+
+
+def test_tile_upsample2x_s2d_to_s4d(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 12, 6)), jnp.float32)   # 2h x 2w
+    x_s2d = space_to_depth(x)
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (1, 8, 2, 12, 2, 6))
+    up = up.reshape(1, 16, 24, 6)
+    np.testing.assert_array_equal(
+        tile_upsample2x_s2d_to_s4d(x_s2d), space_to_depth4(up))
+
+
+@pytest.mark.parametrize("skip_type", ["concat", "sum"])
+def test_blocked_head_matches_standard(rng, skip_type):
+    latent = _latent(rng)
+    head = SegmentationHead(num_classes=NCLS, skip_type=skip_type,
+                            dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), latent)["params"]
+
+    std = head.apply({"params": params}, latent)
+    blk = head.apply({"params": params}, latent, block_space=True)
+
+    np.testing.assert_array_equal(std[8], blk[8])
+    np.testing.assert_array_equal(std[4], blk[4])
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(std[2])), np.asarray(blk[2]),
+        rtol=0, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth4(std[1])), np.asarray(blk[1]),
+        rtol=0, atol=2e-5)
+
+
+def test_loss_layout_invariance(rng):
+    latent = _latent(rng)
+    head = SegmentationHead(num_classes=NCLS, dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), latent)["params"]
+    labels = jnp.asarray(rng.integers(0, NCLS + 1, (B, H, W)), jnp.int32)
+    labels = jnp.where(labels == NCLS, 255, labels)   # some ignore pixels
+
+    std = head.apply({"params": params}, latent)[1]
+    blk = head.apply({"params": params}, latent, block_space=True)[1]
+    l_std = task_loss(std, labels, num_classes=NCLS, ignore_label=255)
+    l_blk = task_loss(
+        s4d_logits_class_minor(blk, NCLS), fold_labels_s4d(labels),
+        num_classes=NCLS, ignore_label=255)
+    np.testing.assert_allclose(float(l_std), float(l_blk), rtol=1e-5)
+
+
+def test_blocked_head_gradient_parity(rng):
+    """The head is TRAINABLE — gradients through the blocked remap must
+    match the standard path per parameter."""
+    latent = _latent(rng)
+    head = SegmentationHead(num_classes=NCLS, dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), latent)["params"]
+    labels = jnp.asarray(rng.integers(0, NCLS, (B, H, W)), jnp.int32)
+
+    def loss_std(p):
+        logits = head.apply({"params": p}, latent)[1]
+        return task_loss(logits, labels, num_classes=NCLS, ignore_label=255)
+
+    def loss_blk(p):
+        logits = head.apply({"params": p}, latent, block_space=True)[1]
+        return task_loss(s4d_logits_class_minor(logits, NCLS),
+                         fold_labels_s4d(labels),
+                         num_classes=NCLS, ignore_label=255)
+
+    g_std = jax.grad(loss_std)(params)
+    g_blk = jax.grad(loss_blk)(params)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(g_std)
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(g_blk)
+    for (ks, vs), (kb, vb) in zip(flat_s, flat_b):
+        assert ks == kb
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vb), rtol=0, atol=5e-6,
+            err_msg=jax.tree_util.keystr(ks))
+
+
+def test_fold_labels_s4d_roundtrip(rng):
+    labels = jnp.asarray(rng.integers(0, 19, (B, H, W)), jnp.int32)
+    folded = fold_labels_s4d(labels)
+    assert folded.shape == (B, H // 4, (W // 4) * 16)
+    # spot-check the subpixel order against space_to_depth4 of the labels
+    ref = space_to_depth4(labels[..., None].astype(jnp.float32))
+    ref = ref.reshape(B, H // 4, (W // 4) * 16)
+    np.testing.assert_array_equal(folded, ref.astype(jnp.int32))
