@@ -71,14 +71,34 @@ class ResNet18Encoder(nn.Module):
     # resnet18; the builder sets 2*e2vid_base so the multi-scale channel
     # counts always match the E2VID latent the head was built for.
     base_width: int = 64
+    # Stem evaluation: 'auto' evaluates the 7x7/2 C_in=1 conv in 4x4 block
+    # space when the input tiles into 4x4 blocks — the 1-channel contraction
+    # is the worst MXU shape in the framework (K=49 vs the 128-lane tile;
+    # the analogous 5-channel head conv measured ~4 TF/s under XLA's direct
+    # lowering on v5e). block_kernel(k=7, bi=4, bo=2, stride=2) turns it
+    # into a stride-1 3x3 conv (16 -> 256 channels) followed by one cheap
+    # depth-to-space; same (7,7,1,64) params, exact math. 'xla' forces the
+    # direct lowering (A/B + odd geometries).
+    stem_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[int, jax.Array]:
         out: Dict[int, jax.Array] = {1: x}
         w = self.base_width
         h = x.astype(self.dtype)
-        h = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(h)
+        blocked_stem = (self.stem_impl == "auto"
+                        and h.shape[1] % 4 == 0 and h.shape[2] % 4 == 0)
+        if blocked_stem:
+            from ess_tpu.models.layers import _BlockConv
+            from ess_tpu.ops.conv_s2d import depth_to_space, space_to_depth4
+
+            h = _BlockConv(w, kernel_size=7, strides=2, use_bias=False,
+                           in_block=4, dtype=self.dtype,
+                           name="stem_conv")(space_to_depth4(h))
+            h = depth_to_space(h)
+        else:
+            h = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="stem_conv")(h)
         h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(h)
         h = nn.relu(h)

@@ -120,6 +120,50 @@ def test_blocked_head_gradient_parity(rng):
             err_msg=jax.tree_util.keystr(ks))
 
 
+def test_resnet_blocked_stem_matches_xla(rng):
+    """The 7x7/2 C_in=1 stem evaluated in 4x4 block space (models/resnet.py
+    stem_impl='auto') must match the direct lowering exactly — values and
+    parameter gradients (the stem is trainable in UDA)."""
+    from ess_tpu.models.resnet import ResNet18Encoder
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 1)), jnp.float32)
+    enc_b = ResNet18Encoder(dtype=jnp.float32, stem_impl="auto")
+    enc_x = ResNet18Encoder(dtype=jnp.float32, stem_impl="xla")
+    variables = enc_x.init(jax.random.PRNGKey(0), x)
+
+    def run(enc, v):
+        out, _ = enc.apply(v, x, train=True, mutable=["batch_stats"])
+        return out
+
+    out_b, out_x = run(enc_b, variables), run(enc_x, variables)
+    for s in (2, 4, 8):
+        np.testing.assert_allclose(
+            np.asarray(out_x[s]), np.asarray(out_b[s]), rtol=0, atol=2e-5)
+
+    def loss(enc, params):
+        out, _ = enc.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(out[s] ** 2) for s in (2, 4, 8))
+
+    g_b = jax.grad(lambda p: loss(enc_b, p))(variables["params"])
+    g_x = jax.grad(lambda p: loss(enc_x, p))(variables["params"])
+    for (ks, vs), (kb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_b)[0]):
+        assert ks == kb
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vb), rtol=2e-4, atol=2e-3,
+            err_msg=jax.tree_util.keystr(ks))
+
+    # odd geometry falls back to the direct lowering
+    x_odd = jnp.asarray(rng.normal(size=(1, 30, 46, 1)), jnp.float32)
+    v_odd = enc_b.init(jax.random.PRNGKey(1), x_odd)
+    out_odd, _ = enc_b.apply(v_odd, x_odd, train=True,
+                             mutable=["batch_stats"])
+    assert out_odd[2].shape == (1, 15, 23, 64)
+
+
 def test_fold_labels_s4d_roundtrip(rng):
     labels = jnp.asarray(rng.integers(0, 19, (B, H, W)), jnp.int32)
     folded = fold_labels_s4d(labels)
