@@ -58,10 +58,19 @@ class TorchBatchNorm(nn.Module):
     use_running_average: bool
     momentum: float = 0.9
     epsilon: float = 1e-5
+    # block > 1: x is a space-to-depth tensor (channel = subpixel*C + c);
+    # stats/params stay per ORIGINAL channel (C,), pooled over subpixels —
+    # the same value set as the standard layout, so the math (and the
+    # running-stat trajectory) is exactly the standard BatchNorm's.
+    block: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        orig_shape = x.shape
+        nsub = self.block * self.block
+        if nsub > 1:
+            x = x.reshape(*x.shape[:-1], nsub, x.shape[-1] // nsub)
         feat = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((feat,), jnp.float32))
@@ -86,7 +95,7 @@ class TorchBatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
-        return y.astype(self.dtype)
+        return y.astype(self.dtype).reshape(orig_shape)
 
 
 def instance_norm(x: jax.Array, *, epsilon: float = 1e-5) -> jax.Array:

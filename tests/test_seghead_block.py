@@ -132,13 +132,20 @@ def test_resnet_blocked_stem_matches_xla(rng):
     variables = enc_x.init(jax.random.PRNGKey(0), x)
 
     def run(enc, v):
-        out, _ = enc.apply(v, x, train=True, mutable=["batch_stats"])
-        return out
+        return enc.apply(v, x, train=True, mutable=["batch_stats"])
 
-    out_b, out_x = run(enc_b, variables), run(enc_x, variables)
+    (out_b, mut_b), (out_x, mut_x) = run(enc_b, variables), run(enc_x, variables)
     for s in (2, 4, 8):
         np.testing.assert_allclose(
             np.asarray(out_x[s]), np.asarray(out_b[s]), rtol=0, atol=2e-5)
+    # BN running-stat updates (incl. the subpixel-pooled blocked BNs) match
+    for (ks, vs), (kb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(mut_x)[0],
+            jax.tree_util.tree_flatten_with_path(mut_b)[0]):
+        assert ks == kb
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vb), rtol=0, atol=1e-5,
+            err_msg=jax.tree_util.keystr(ks))
 
     def loss(enc, params):
         out, _ = enc.apply(
