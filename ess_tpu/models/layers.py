@@ -363,17 +363,39 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
 
 class UpsampleConvLayer(nn.Module):
     """Bilinear 2x upsample + conv — no checkerboard artefacts
-    (submodules.py:66-94)."""
+    (submodules.py:66-94).
+
+    ``conv_impl='auto'`` evaluates the post-upsample 5x5 conv in s2d block
+    space when the output channel count underfills the 128-lane MXU (the
+    E2VID decoder tail: 64ch at half res, 32ch at full res — the hot convs
+    of every decode window in reconstruction/eval and of the UDA step's
+    img_fake decode). The upsampled tensor is folded space-to-depth (its
+    dims are always even), the conv runs via the exact block-kernel remap
+    (SAME zero padding in block space == the standard pad k//2), and one
+    depth-to-space restores the layout. Same params, same math; 'xla'
+    forces the direct lowering.
+    """
 
     features: int
     kernel_size: int = 5
     activation: Optional[str] = "relu"
     norm: Optional[str] = None
+    conv_impl: str = "auto"  # 'auto' | 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = upsample2x_bilinear(x)
+        blocked = (self.conv_impl == "auto" and self.kernel_size == 5
+                   and self.norm is None and self.features < 128)
+        if blocked:
+            from ess_tpu.ops.conv_s2d import depth_to_space, space_to_depth
+
+            x = _BlockConv(self.features, kernel_size=5, in_block=2,
+                           use_bias=True, dtype=self.dtype,
+                           name="Conv_0")(space_to_depth(x))
+            x = depth_to_space(x)
+            return activation_fn(self.activation)(x)
         pad = self.kernel_size // 2
         x = nn.Conv(
             self.features,

@@ -171,6 +171,36 @@ def test_resnet_blocked_stem_matches_xla(rng):
     assert out_odd[2].shape == (1, 15, 23, 64)
 
 
+def test_upsample_conv_blocked_matches_xla(rng):
+    """UpsampleConvLayer conv_impl='auto' (s2d block conv after the bilinear
+    upsample) must match the direct lowering exactly, values and grads."""
+    from ess_tpu.models.layers import UpsampleConvLayer
+
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 64)), jnp.float32)
+    up_b = UpsampleConvLayer(32, conv_impl="auto", dtype=jnp.float32)
+    up_x = UpsampleConvLayer(32, conv_impl="xla", dtype=jnp.float32)
+    variables = up_x.init(jax.random.PRNGKey(0), x)
+
+    out_b = up_b.apply(variables, x)
+    out_x = up_x.apply(variables, x)
+    assert out_b.shape == (2, 20, 28, 32)
+    np.testing.assert_allclose(
+        np.asarray(out_x), np.asarray(out_b), rtol=0, atol=2e-5)
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+    g_b = jax.grad(lambda p: loss(up_b, p))(variables["params"])
+    g_x = jax.grad(lambda p: loss(up_x, p))(variables["params"])
+    for (ks, vs), (kb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_b)[0]):
+        assert ks == kb
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vb), rtol=2e-4, atol=2e-3,
+            err_msg=jax.tree_util.keystr(ks))
+
+
 def test_fold_labels_s4d_roundtrip(rng):
     labels = jnp.asarray(rng.integers(0, 19, (B, H, W)), jnp.int32)
     folded = fold_labels_s4d(labels)
