@@ -119,27 +119,36 @@ def main() -> None:
     }
 
     # compile + warmup (fetch the loss scalar: on tunneled backends
-    # block_until_ready does not actually synchronize). The quad-block
-    # rollout's Pallas shapes are the newest compile surface; if a fresh
-    # toolchain rejects them, fall back to the standard rollout rather
-    # than lose the whole benchmark datum.
+    # block_until_ready does not actually synchronize). The Pallas surfaces
+    # (quad-block rollout shapes, int8 fused cells) are toolchain-sensitive;
+    # if a fresh toolchain rejects one, degrade through progressively more
+    # conservative configs rather than lose the whole benchmark datum.
+    import dataclasses
     import sys
 
-    try:
-        state, out = step(state, batch)
-        float(out["loss"])
-    except Exception as e:  # pragma: no cover - toolchain-specific escape
-        import dataclasses
-
-        print(f"bench: quad-block rollout failed to compile/run ({e!r}); "
-              "retrying with quad_block_train=False", file=sys.stderr)
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, quad_block_train=False))
-        mods = build_modules(cfg)
-        state = init_state(mods, jax.random.PRNGKey(0))
-        step = sup.make_train_step(mods, pipeline)
-        state, out = step(state, batch)
-        float(out["loss"])
+    fallbacks = [
+        {},  # as configured (quad + pallas_int8 train cells)
+        {"quad_block_train": False},
+        {"quad_block_train": False, "lstm_impl_train": None},  # bf16 Pallas
+        {"quad_block_train": False, "lstm_impl_train": None,
+         "lstm_impl": "xla"},  # no Pallas cells at all
+    ]
+    for i, tweak in enumerate(fallbacks):
+        try:
+            if i:
+                cfg = dataclasses.replace(
+                    cfg, model=dataclasses.replace(cfg.model, **tweak))
+                mods = build_modules(cfg)
+                state = init_state(mods, jax.random.PRNGKey(0))
+                step = sup.make_train_step(mods, pipeline)
+            state, out = step(state, batch)
+            float(out["loss"])
+            break
+        except Exception as e:  # pragma: no cover - toolchain-specific escape
+            if i == len(fallbacks) - 1:
+                raise
+            print(f"bench: config {tweak or 'default'} failed to compile/run "
+                  f"({e!r}); degrading to {fallbacks[i + 1]}", file=sys.stderr)
 
     # Steps chain through the donated TrainState, so dispatching the whole
     # run and fetching ONE final scalar measures the true sustained step

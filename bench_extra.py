@@ -359,15 +359,28 @@ def bench_ingest_dsec(num_workers=None, wire="f32"):
 
 
 def main():
-    bench_supervised("DDD17_events", b=16, t=20, n=32_000,
-                     sensor=(260, 346), label_hw=(200, 346), classes=6,
-                     pipe_kw={"crop_bottom": 60, "resize_to": (200, 352)})
-    bench_supervised("DSEC_events", b=8, t=20, n=100_000,
-                     sensor=(480, 640), label_hw=(440, 640), classes=11,
-                     pipe_kw={"crop_bottom": 40, "trilinear": True})
-    bench_uda_dsec()
-    bench_uda_ddd17()
-    bench_ingest_dsec(wire="packed")
+    # isolate scenarios: one toolchain/compile failure must not lose the
+    # remaining datapoints (these feed BASELINE.md, not the driver metric)
+    import traceback
+
+    scenarios = [
+        lambda: bench_supervised(
+            "DDD17_events", b=16, t=20, n=32_000,
+            sensor=(260, 346), label_hw=(200, 346), classes=6,
+            pipe_kw={"crop_bottom": 60, "resize_to": (200, 352)}),
+        lambda: bench_supervised(
+            "DSEC_events", b=8, t=20, n=100_000,
+            sensor=(480, 640), label_hw=(440, 640), classes=11,
+            pipe_kw={"crop_bottom": 40, "trilinear": True}),
+        bench_uda_dsec,
+        bench_uda_ddd17,
+        lambda: bench_ingest_dsec(wire="packed"),
+    ]
+    for s in scenarios:
+        try:
+            s()
+        except Exception:
+            traceback.print_exc()
 
 
 if __name__ == "__main__":
