@@ -219,6 +219,66 @@ def bench_uda_ddd17():
           f"({b*t/dt/base:.2f}x est. baseline {base:.0f})", flush=True)
 
 
+def bench_streaming_eval(b=1, n=100_000, windows_per_score=20, iters=8,
+                         sensor=(480, 640), label_hw=(440, 640),
+                         crop_bottom=40):
+    """Streaming long-horizon inference at the DSEC shape (BASELINE.json
+    config 5; the reference's ImageReconstructor + SequenceRecurrent eval
+    path, image_reconstructor.py:18-185 / sequence_recurrent.py:249-267):
+    B=1 carried-state windows, encoder-only until a labeled window, then
+    decode + head + on-device confusion matrix. Exercises the eval-side
+    blocked decoder tail. Reports ms/window and windows/s (no reference
+    baseline exists: the reference publishes no inference throughput)."""
+    import jax
+    import jax.numpy as jnp
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.train.builder import build_modules, init_state
+    from ess_tpu.train.streaming import make_streaming_steps
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=label_hw),
+            sensor_b=EventDatasetConfig(
+                name="DSEC_events", shape=label_hw, nr_events_data=20,
+                nr_temporal_bins=5, nr_events_window=n)),
+        model=ModelConfig(model_name="ess_supervised",
+                          compute_dtype="bfloat16"),
+        task=TaskConfig(semseg_num_classes=11),
+        optim=OptimConfig(batch_size_b=b))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=sensor[0], sensor_width=sensor[1], num_bins=5,
+        crop_bottom=crop_bottom, trilinear=True, normalize=True))
+    encode_step, score_step = make_streaming_steps(mods, pipe)
+
+    rng = np.random.default_rng(0)
+    batch = make_event_batch(rng, b, 1, n, sensor[0], sensor[1], label_hw,
+                             11)
+    first = dict(batch, is_first=jnp.ones((b,), bool))
+    rest = dict(batch, is_first=jnp.zeros((b,), bool))
+
+    recon_state = mods.recon_val.init_state(b)
+    recon_state = encode_step(state, recon_state, first)   # compile both
+    recon_state, cm = score_step(state, recon_state, rest)
+    float(cm.sum())
+
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(iters):
+        for _ in range(windows_per_score - 1):
+            recon_state = encode_step(state, recon_state, rest)
+        recon_state, cm = score_step(state, recon_state, rest)
+        total += windows_per_score
+    float(cm.sum())
+    dt = (time.perf_counter() - t0) / total
+    print(f"DSEC streaming eval (B={b}, labeled 1/{windows_per_score}): "
+          f"{dt*1e3:.1f} ms/window -> {b/dt:.0f} windows/s", flush=True)
+
+
 class _SyntheticDSEC:
     """DSEC-shaped dataset doing the REAL per-sample host work: rectify-map
     lookup on raw integer coords, fixed-capacity window pad, and native tile
@@ -374,6 +434,7 @@ def main():
             pipe_kw={"crop_bottom": 40, "trilinear": True}),
         bench_uda_dsec,
         bench_uda_ddd17,
+        bench_streaming_eval,
         lambda: bench_ingest_dsec(wire="packed"),
     ]
     for s in scenarios:
