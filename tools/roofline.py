@@ -153,6 +153,50 @@ def components():
     return out
 
 
+def uda_components():
+    """DSEC UDA step (train/uda.py; reference ess_trainer.py:103-148):
+    everything in the supervised step's rollout + decode, PLUS the trainable
+    image branch applied twice (img_a and the reconstructed img_fake), three
+    head passes, cycle losses, and two optimizers. B images = B event
+    samples = 8 at 440x640."""
+    out = [c for c in components()
+           if c[0] not in ("seghead_fwd_bwd", "loss")]
+
+    # -- ResNet18 front end (stem + layer1-3, models/resnet.py), fwd+bwd,
+    #    applied to img_a AND img_fake: 2 images x ~3x fwd FLOPs ------------
+    hw2 = (H >> 1) * (W >> 1)
+    hw4 = (H >> 2) * (W >> 2)
+    hw8 = (H >> 3) * (W >> 3)
+    fe = conv_flops(hw2, 7, 1, 64)                     # 7x7/2 stem (blocked)
+    fe += 4 * conv_flops(hw2, 3, 64, 64)               # layer1: 2 BasicBlocks
+    fe += (conv_flops(hw4, 3, 64, 128) + 3 * conv_flops(hw4, 3, 128, 128)
+           + conv_flops(hw4, 1, 64, 128))              # layer2 + downsample
+    fe += (conv_flops(hw8, 3, 128, 256) + 3 * conv_flops(hw8, 3, 256, 256)
+           + conv_flops(hw8, 1, 128, 256))             # layer3 + downsample
+    out.append(("front_a_x2", "resnet18 stem+layer1-3 fwd+bwd, 2 images",
+                B * 2 * 3 * fe, 0.0, BF16_TFLOPS))
+
+    # -- three head passes (uda_losses: pred_a fwd+bwd(back), pred_fake fwd +
+    #    bwd-to-latent (trains front_a), pred_real fwd+bwd(back)) ------------
+    c_top = BASE * 2 ** LEVELS
+    hw_top = hw8
+    head = 5 * 2 * conv_flops(hw_top, 3, c_top, c_top)
+    head += conv_flops(hw_top, 3, c_top, 128)
+    head += conv_flops(hw4, 3, 128 + 64, 64) + conv_flops(hw4, 3, 64, 64)
+    head += conv_flops(hw2, 3, 64 + 32, 64) + conv_flops(hw2, 3, 64, 32)
+    head += conv_flops(hw2, 1, 32, NUM_CLASSES)
+    out.append(("head_x3_fwd_bwd", "3 head passes (a/fake/real) fwd+bwd",
+                B * 3 * 3 * head, 0.0, BF16_TFLOPS))
+
+    # -- cycle + task losses: L1 on latent dicts {2,4,8} + symJS + dice/CE
+    #    on blocked logits — all bytes-bound elementwise ----------------------
+    lat_bytes = B * (hw2 * 64 + hw4 * 128 + hw8 * 256) * 2 * 2  # fake + real
+    logits_bytes = 3 * B * hw4 * 16 * NUM_CLASSES * 2
+    out.append(("cycle_losses", "L1 latent + symJS + dice/CE + bwd",
+                0.0, 3 * (lat_bytes + logits_bytes), BF16_TFLOPS))
+    return out
+
+
 KNOWN_MEASURED = {
     # xplane-attributed ms/step at the 638 w/s state (tools/profile_bench.py,
     # BASELINE.md round-3 anatomy). Re-measure after quad+blocked-head land.
@@ -166,6 +210,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measured", nargs="*", default=[],
                     help="component=ms overrides, e.g. voxelize=21.2")
+    ap.add_argument("--step", choices=["supervised", "uda"],
+                    default="supervised")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
     measured = dict(KNOWN_MEASURED)
@@ -173,9 +219,10 @@ def main():
         k, v = kv.split("=")
         measured[k] = float(v)
 
+    comps = components() if args.step == "supervised" else uda_components()
     rows = []
     tot_sol = 0.0
-    for key, desc, fl, by, peak in components():
+    for key, desc, fl, by, peak in comps:
         s, t_f, t_m = sol_ms(fl, by, peak)
         bound = "MXU" if t_f >= t_m else "HBM"
         rows.append({
@@ -190,7 +237,7 @@ def main():
                           "windows_per_step": B * T}))
         return
 
-    print(f"# SoL roofline — DSEC supervised step (B{B} x T{T}, {H}x{W})\n")
+    print(f"# SoL roofline — DSEC {args.step} step (B{B} x T{T}, {H}x{W})\n")
     print("| component | what | GFLOP | HBM MB | bound | SoL ms | meas ms |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
