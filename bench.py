@@ -69,25 +69,21 @@ def make_cfg():
     )
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def make_pipeline():
     from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
-    from ess_tpu.train.builder import build_modules, init_state
-    from ess_tpu.train import supervised as sup
-
-    cfg = make_cfg()
-    mods = build_modules(cfg)
-    state = init_state(mods, jax.random.PRNGKey(0))
 
     # DSEC production path: float host-rectified coords -> trilinear kernel
-    pipeline = EventPipeline(
+    return EventPipeline(
         PipelineConfig(
             sensor_height=SENSOR_H, sensor_width=SENSOR_W, num_bins=BINS,
             crop_bottom=40, trilinear=True, normalize=True))
 
-    step = sup.make_train_step(mods, pipeline)
+
+def make_batch():
+    """Synthetic DSEC step batch: tile-sorted SoA events, exactly the shape
+    the loader's worker threads emit (shared with tools/bench_increments.py
+    and tools/profile_bench.py)."""
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     shape = (BATCH, WINDOWS, EVENTS_PER_WINDOW)
@@ -107,7 +103,7 @@ def main() -> None:
         sraw[b], svalid[b], o = host_tile_bin(
             raw[b], valid[b], height=SENSOR_H, width=SENSOR_W)
         offs.append(o)
-    batch = {
+    return {
         "ev_x": jnp.asarray(sraw[..., 0]),
         "ev_y": jnp.asarray(sraw[..., 1]),
         "ev_t": jnp.asarray(sraw[..., 2]),
@@ -117,6 +113,20 @@ def main() -> None:
         "label": jnp.asarray(
             rng.integers(0, NUM_CLASSES, (BATCH, 440, 640)), jnp.int32),
     }
+
+
+def main() -> None:
+    import jax
+
+    from ess_tpu.train.builder import build_modules, init_state
+    from ess_tpu.train import supervised as sup
+
+    cfg = make_cfg()
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipeline = make_pipeline()
+    step = sup.make_train_step(mods, pipeline)
+    batch = make_batch()
 
     # compile + warmup (fetch the loss scalar: on tunneled backends
     # block_until_ready does not actually synchronize). The Pallas surfaces

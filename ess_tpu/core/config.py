@@ -119,6 +119,13 @@ class ModelConfig:
     # standard rollout without editing the builder (bench.py also uses it
     # to fall back if a fresh toolchain rejects the quad kernel shapes).
     quad_block_train: Optional[bool] = None
+    # Block-space segmentation-head evaluation in the TRAIN steps (s2d/s4d
+    # stages + folded-label losses, models/seghead.py): None = auto (on
+    # whenever the skip-connect head's logits geometry tiles 4x4); True
+    # cannot force an illegal geometry; False pins the standard head — used
+    # for lever attribution (tools/bench_increments.py) and as a toolchain
+    # escape hatch. Eval/validation always run the standard head.
+    block_head_train: Optional[bool] = None
     # optional eval pass over the TRAIN sets each validation
     # (trainDatasetStatisticsEpoch, base_trainer.py:429-431/:473-498; the
     # reference's ESS trainers hard-disable it)
@@ -314,6 +321,8 @@ def load_config(path_or_dict: str | dict) -> Config:
         lstm_impl_train=_get(model_raw, "lstm_impl_train", None) or None,
         quad_block_train=_normalize_opt_bool(
             _get(model_raw, "quad_block_train", None)),
+        block_head_train=_normalize_opt_bool(
+            _get(model_raw, "block_head_train", None)),
         do_val_training_epoch=bool(
             _get(model_raw, "do_val_training_epoch", False)),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),

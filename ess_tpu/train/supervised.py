@@ -111,6 +111,8 @@ def make_train_step(
         # into 4x4 blocks.
         lh, lw = labels.shape[1], labels.shape[2]
         use_block = (mods.head.skip_connect and lh % 4 == 0 and lw % 4 == 0)
+        if cfg.model.block_head_train is not None:  # pin: False forces the
+            use_block = use_block and cfg.model.block_head_train  # std head
         if use_block:
             labels = fold_labels_s4d(labels)
 

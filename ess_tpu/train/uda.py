@@ -90,6 +90,9 @@ def uda_losses(
               and img_a.shape[1] % 4 == 0 and img_a.shape[2] % 4 == 0)
     bs_ev = (mods.head.skip_connect
              and img_fake.shape[1] % 4 == 0 and img_fake.shape[2] % 4 == 0)
+    if cfg.model.block_head_train is not None:  # pin (see ModelConfig)
+        bs_img = bs_img and cfg.model.block_head_train
+        bs_ev = bs_ev and cfg.model.block_head_train
 
     def cm(logits, blocked):
         return s4d_logits_class_minor(logits, nc) if blocked else logits

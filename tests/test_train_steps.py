@@ -275,3 +275,21 @@ def test_uda_step_packed_wire(rng):
     state2, losses = step(state, batch)
     assert np.isfinite(float(losses["loss"]))
     assert "cycle_latent_8x_sensor_b_to_sensor_a_loss" in losses
+
+
+def test_block_head_train_pin(rng):
+    """block_head_train=False pins the standard head in the train step; the
+    blocked default is exact-math so both pins produce the same loss (the
+    attribution/toolchain escape hatch, ModelConfig.block_head_train)."""
+    cfg = tiny_config()
+    batch = synthetic_batch(rng)
+
+    def run(pin):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, block_head_train=pin))
+        mods = build_modules(c)
+        state = init_state(mods, jax.random.PRNGKey(0))
+        _, out = sup.make_train_step(mods)(state, batch)
+        return float(out["loss"])
+
+    np.testing.assert_allclose(run(False), run(None), rtol=1e-5)

@@ -1,0 +1,81 @@
+"""Lever-by-lever attribution of the DSEC supervised step, one TPU session.
+
+Measures bench.py's exact step across a ladder of config increments so one
+tunnel session yields the full round-3 anatomy (BASELINE.md table):
+
+  0. xla-cells       lstm_impl='xla', quad off, block head off
+  1. int8-cells      fused Pallas int8 train cells        (≈ the 638 w/s state)
+  2. +block-head     blocked SegmentationHead (s2d/s4d stages, folded losses)
+  3. +quad (default) quad-block s4d rollout — bench.py's configuration
+
+Prints one line per increment: windows/s + delta vs the previous rung.
+Timing follows CLAUDE.md discipline: queued dispatches chained through the
+donated TrainState, ONE scalar fetch at the end (per-iteration fetches
+measure the tunnel RTT, not the step).
+
+Usage: python tools/bench_increments.py [--iters 10] [--only 2 3]
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402  (shares config/batch with the driver metric)
+
+LADDER = [
+    ("xla-cells", {"quad_block_train": False, "block_head_train": False,
+                   "lstm_impl_train": None, "lstm_impl": "xla"}),
+    ("int8-cells", {"quad_block_train": False, "block_head_train": False}),
+    ("+block-head", {"quad_block_train": False}),
+    ("+quad (default)", {}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", type=int, nargs="*", default=None,
+                    help="ladder indices to run (default: all)")
+    args = ap.parse_args()
+
+    import jax
+
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+
+    base = bench.make_cfg()
+    pipeline = bench.make_pipeline()
+    batch = bench.make_batch()
+
+    prev = None
+    for i, (name, tweak) in enumerate(LADDER):
+        if args.only is not None and i not in args.only:
+            continue
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, **tweak))
+        try:
+            mods = build_modules(cfg)
+            state = init_state(mods, jax.random.PRNGKey(0))
+            step = sup.make_train_step(mods, pipeline)
+            state, out = step(state, batch)   # compile + warmup
+            float(out["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, out = step(state, batch)
+            float(out["loss"])
+            dt = (time.perf_counter() - t0) / args.iters
+        except Exception as e:  # keep the remaining rungs
+            print(f"[{i}] {name:18s} FAILED: {e!r}", flush=True)
+            continue
+        wps = bench.BATCH * bench.WINDOWS / dt
+        delta = f"  ({wps - prev:+.0f} w/s vs prev rung)" if prev else ""
+        print(f"[{i}] {name:18s} {dt * 1e3:7.1f} ms/step  "
+              f"{wps:6.1f} windows/s{delta}", flush=True)
+        prev = wps
+
+
+if __name__ == "__main__":
+    main()
