@@ -120,18 +120,18 @@ def bench_supervised(name, *, b, t, n, sensor, label_hw, classes, pipe_kw):
           f"{base:.0f})", flush=True)
 
 
-def bench_uda_dsec():
-    import jax
-    import jax.numpy as jnp
+UDA_DSEC_B, UDA_DSEC_T, UDA_DSEC_N = 8, 20, 100_000
+
+
+def make_uda_dsec_cfg():
+    """The DSEC UDA benchmark config (shared with
+    tools/bench_uda_increments.py so attribution measures the same step)."""
     from ess_tpu.core.config import (
         Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
         ModelConfig, OptimConfig, TaskConfig)
-    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
-    from ess_tpu.train import uda as uda_mod
-    from ess_tpu.train.builder import build_modules, init_state
 
-    b, t, n = 8, 20, 100_000
-    cfg = Config(
+    b, t, n = UDA_DSEC_B, UDA_DSEC_T, UDA_DSEC_N
+    return Config(
         dataset=DatasetConfig(
             sensor_a=ImageDatasetConfig(shape=(440, 640), random_crop=False),
             sensor_b=EventDatasetConfig(
@@ -142,8 +142,14 @@ def bench_uda_dsec():
                           lstm_impl_train="pallas_int8"),
         task=TaskConfig(semseg_num_classes=11),
         optim=OptimConfig(batch_size_a=b, batch_size_b=b))
-    mods = build_modules(cfg)
-    state = init_state(mods, jax.random.PRNGKey(0))
+
+
+def make_uda_dsec_inputs():
+    """(pipeline, batch) for the DSEC UDA benchmark step."""
+    import jax.numpy as jnp
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+
+    b, t, n = UDA_DSEC_B, UDA_DSEC_T, UDA_DSEC_N
     pipe = EventPipeline(PipelineConfig(
         sensor_height=480, sensor_width=640, num_bins=5, crop_bottom=40,
         trilinear=True, normalize=True))
@@ -154,6 +160,19 @@ def bench_uda_dsec():
     batch["label_a"] = jnp.asarray(
         rng.integers(0, 11, (b, 440, 640)), jnp.int32)
     batch.pop("label")
+    return pipe, batch
+
+
+def bench_uda_dsec():
+    import jax
+    from ess_tpu.train import uda as uda_mod
+    from ess_tpu.train.builder import build_modules, init_state
+
+    b, t = UDA_DSEC_B, UDA_DSEC_T
+    cfg = make_uda_dsec_cfg()
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe, batch = make_uda_dsec_inputs()
     step = uda_mod.make_train_step(mods, pipe)
 
     state, losses = step(state, batch)
