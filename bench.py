@@ -137,11 +137,10 @@ def main() -> None:
     import sys
 
     fallbacks = [
-        {},  # as configured (quad + pallas_int8 train cells)
-        {"quad_block_train": False},
-        {"quad_block_train": False, "lstm_impl_train": None},  # bf16 Pallas
-        {"quad_block_train": False, "lstm_impl_train": None,
-         "lstm_impl": "xla"},  # no Pallas cells at all
+        {},  # as configured (pallas_int8 train cells; quad/block-head off:
+        #      both measured full-step regressions, tools/bench_increments.py)
+        {"lstm_impl_train": None},  # bf16 Pallas cells
+        {"lstm_impl_train": None, "lstm_impl": "xla"},  # no Pallas cells
     ]
     for i, tweak in enumerate(fallbacks):
         try:

@@ -113,18 +113,17 @@ class ModelConfig:
     # double-rate MXU gates on the frozen forward-only rollout; validation
     # and eval keep the exact `lstm_impl` cell). None = same as lstm_impl.
     lstm_impl_train: Optional[str] = None
-    # Quad-block (s4d) train rollout: None = auto (on where the exact-math
-    # remap applies: no-norm ConvLSTM backbones with >= 2 encoders);
-    # True/False force. The escape hatch exists so deployments can pin the
-    # standard rollout without editing the builder (bench.py also uses it
-    # to fall back if a fresh toolchain rejects the quad kernel shapes).
+    # Quad-block (s4d) train rollout: None/False = off (the round-3 v5e
+    # ladder measured it a -104 w/s full-step regression despite winning
+    # its micro-benchmark, tools/bench_increments.py); True opts in where
+    # the exact-math remap applies (no-norm ConvLSTM backbones with >= 2
+    # encoders — True cannot force an illegal remap).
     quad_block_train: Optional[bool] = None
     # Block-space segmentation-head evaluation in the TRAIN steps (s2d/s4d
-    # stages + folded-label losses, models/seghead.py): None = auto (on
-    # whenever the skip-connect head's logits geometry tiles 4x4); True
-    # cannot force an illegal geometry; False pins the standard head — used
-    # for lever attribution (tools/bench_increments.py) and as a toolchain
-    # escape hatch. Eval/validation always run the standard head.
+    # stages + folded-label losses, models/seghead.py): None/False = off
+    # (measured -59 w/s on the v5e full step, same ladder); True opts in
+    # where the skip-connect head's logits geometry tiles 4x4. Eval and
+    # validation always run the standard head.
     block_head_train: Optional[bool] = None
     # optional eval pass over the TRAIN sets each validation
     # (trainDatasetStatisticsEpoch, base_trainer.py:429-431/:473-498; the

@@ -114,17 +114,18 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
         train_impl = resolve_lstm_impl(m.lstm_impl_train)
     # Quad-block rollout for training: the head + first encoder evaluate at
     # quarter resolution with 4x channel widths via exact-math weight
-    # remaps (models/e2vid.py quad_block). The 64-channel first level is
-    # the most MXU-hostile stage of the rollout; widening it measured the
-    # single largest round-3 step win on v5e. Eval keeps the standard
-    # layout (decode-heavy; parity tests pin its exact numerics).
-    # num_encoders >= 2: the quad first level leaves its state in s2d form
-    # for the NEXT encoder to consume; with a single encoder the decoder
+    # remaps (models/e2vid.py quad_block). Micro-benchmarks priced level 0
+    # at 2x the per-FLOP cost of level 1, but the FULL STEP measured a
+    # -104 w/s REGRESSION on v5e (580 -> 476, tools/bench_increments.py
+    # round-3 ladder) — the remapped 7x7-equivalent block kernels add more
+    # MXU work than the layout win returns. Auto therefore resolves OFF;
+    # the pin remains an opt-in for toolchains where the trade flips.
+    # num_encoders >= 2 legality: the quad first level leaves its state in
+    # s2d form for the NEXT encoder; with a single encoder the decoder
     # would see 4x-wide channels at quarter resolution (shape mismatch).
-    quad = (m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
-            and m.e2vid_num_encoders >= 2)
-    if m.quad_block_train is not None:  # explicit pin wins over auto
-        quad = m.quad_block_train and quad  # True cannot force an illegal remap
+    quad_legal = (m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
+                  and m.e2vid_num_encoders >= 2)
+    quad = bool(m.quad_block_train) and quad_legal  # True cannot force illegal
     if train_impl != e2vid.lstm_impl or quad:
         e2vid_train = e2vid.clone(lstm_impl=train_impl, quad_block=quad)
     recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,

@@ -104,15 +104,15 @@ def make_train_step(
             mods, mods.recon_train, state, batch, pipeline, train=True, rng=rng)
         latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
 
-        # Blocked head evaluation (exact math, same params): the head's
-        # scale-1/2 stages and the lane-padded full-res logits are the
-        # train step's MXU/bandwidth sink — see models/seghead.py. Legal
-        # whenever the logits resolution (== label resolution here) tiles
-        # into 4x4 blocks.
+        # Blocked head evaluation (exact math, same params — see
+        # models/seghead.py). Measured a -59 w/s full-step REGRESSION on
+        # v5e (639 -> 580, tools/bench_increments.py round-3 ladder): the
+        # blocked stages' extra block-kernel FLOPs cost more than the
+        # lane-padded full-res logits they avoid. OFF unless pinned True.
         lh, lw = labels.shape[1], labels.shape[2]
-        use_block = (mods.head.skip_connect and lh % 4 == 0 and lw % 4 == 0)
-        if cfg.model.block_head_train is not None:  # pin: False forces the
-            use_block = use_block and cfg.model.block_head_train  # std head
+        use_block = (bool(cfg.model.block_head_train)
+                     and mods.head.skip_connect
+                     and lh % 4 == 0 and lw % 4 == 0)
         if use_block:
             labels = fold_labels_s4d(labels)
 

@@ -86,13 +86,13 @@ def uda_losses(
     # the event branch can train at different sizes (DDD17). The 1x symJS
     # and task losses get class-minor views / folded labels; the 2x/4x L1s
     # compare identical layouts on both sides so they need no adapter.
-    bs_img = (mods.head.skip_connect
+    # OFF unless pinned True: the supervised ladder measured the blocked
+    # head a net regression on v5e (tools/bench_increments.py, round 3).
+    blk = bool(cfg.model.block_head_train)
+    bs_img = (blk and mods.head.skip_connect
               and img_a.shape[1] % 4 == 0 and img_a.shape[2] % 4 == 0)
-    bs_ev = (mods.head.skip_connect
+    bs_ev = (blk and mods.head.skip_connect
              and img_fake.shape[1] % 4 == 0 and img_fake.shape[2] % 4 == 0)
-    if cfg.model.block_head_train is not None:  # pin (see ModelConfig)
-        bs_img = bs_img and cfg.model.block_head_train
-        bs_ev = bs_ev and cfg.model.block_head_train
 
     def cm(logits, blocked):
         return s4d_logits_class_minor(logits, nc) if blocked else logits

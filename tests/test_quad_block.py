@@ -6,6 +6,8 @@ space-to-depth state — all via exact weight remaps
 (ops/conv_s2d.block_kernel / gates_kernel_s2d). Same params, same math.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,9 +143,11 @@ def test_block_kernel_rejects_even_block_kernel(rng):
 
 
 def test_quad_gate_requires_multiple_encoders():
-    """build_modules must not auto-enable quad_block for a 1-encoder model
-    (the s2d state would reach the decoder 4x wide), and ESS training
-    requires the 3-encoder E2VID outright (scale-8 seghead latent)."""
+    """A quad_block_train=True pin must not enable quad_block for a
+    1-encoder model (the s2d state would reach the decoder 4x wide), and
+    ESS training requires the 3-encoder E2VID outright (scale-8 seghead
+    latent). Auto (None) resolves OFF: the full-step ladder measured quad
+    a net regression on v5e (tools/bench_increments.py, round 3)."""
     from ess_tpu.core.config import (
         Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
         ModelConfig, OptimConfig, TaskConfig)
@@ -157,7 +161,7 @@ def test_quad_gate_requires_multiple_encoders():
                     name="DSEC_events", shape=(32, 32), nr_events_data=2,
                     nr_temporal_bins=5, nr_events_window=64)),
             model=ModelConfig(model_name="ess_supervised",
-                              e2vid_num_encoders=n),
+                              e2vid_num_encoders=n, quad_block_train=True),
             task=TaskConfig(semseg_num_classes=3),
             optim=OptimConfig(batch_size_b=1))
 
@@ -165,6 +169,10 @@ def test_quad_gate_requires_multiple_encoders():
         build_modules(cfg(1))
     mods = build_modules(cfg(3))
     assert mods.recon_train.model.quad_block
+    # auto (no pin) resolves OFF
+    auto = dataclasses.replace(
+        cfg(3), model=dataclasses.replace(cfg(3).model, quad_block_train=None))
+    assert not build_modules(auto).recon_train.model.quad_block
 
 
 def test_quad_gate_explicit_pin():

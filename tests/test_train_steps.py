@@ -278,9 +278,10 @@ def test_uda_step_packed_wire(rng):
 
 
 def test_block_head_train_pin(rng):
-    """block_head_train=False pins the standard head in the train step; the
-    blocked default is exact-math so both pins produce the same loss (the
-    attribution/toolchain escape hatch, ModelConfig.block_head_train)."""
+    """block_head_train=True opts into the blocked head (auto now resolves
+    OFF — it measured a full-step regression on v5e, see
+    tools/bench_increments.py); the blocked path is exact-math so both pins
+    produce the same loss."""
     cfg = tiny_config()
     batch = synthetic_batch(rng)
 
@@ -292,4 +293,4 @@ def test_block_head_train_pin(rng):
         _, out = sup.make_train_step(mods)(state, batch)
         return float(out["loss"])
 
-    np.testing.assert_allclose(run(False), run(None), rtol=1e-5)
+    np.testing.assert_allclose(run(True), run(None), rtol=1e-5)

@@ -4,9 +4,13 @@ Measures bench.py's exact step across a ladder of config increments so one
 tunnel session yields the full round-3 anatomy (BASELINE.md table):
 
   0. xla-cells       lstm_impl='xla', quad off, block head off
-  1. int8-cells      fused Pallas int8 train cells        (≈ the 638 w/s state)
+  1. int8-cells      fused Pallas int8 train cells — bench.py's DEFAULT
   2. +block-head     blocked SegmentationHead (s2d/s4d stages, folded losses)
-  3. +quad (default) quad-block s4d rollout — bench.py's configuration
+  3. +quad           quad-block s4d rollout
+
+Round-3 v5e results: 546.8 / 639.3 / 580.2 / 476.4 windows/s — the blocked
+head (-59) and quad rollout (-104) are full-step REGRESSIONS despite winning
+their micro-benchmarks, so auto resolves both OFF (rungs 2/3 are opt-ins).
 
 Prints one line per increment: windows/s + delta vs the previous rung.
 Timing follows CLAUDE.md discipline: queued dispatches chained through the
@@ -26,11 +30,10 @@ sys.path.insert(0, "/root/repo")
 import bench  # noqa: E402  (shares config/batch with the driver metric)
 
 LADDER = [
-    ("xla-cells", {"quad_block_train": False, "block_head_train": False,
-                   "lstm_impl_train": None, "lstm_impl": "xla"}),
-    ("int8-cells", {"quad_block_train": False, "block_head_train": False}),
-    ("+block-head", {"quad_block_train": False}),
-    ("+quad (default)", {}),
+    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}),
+    ("int8-cells (default)", {}),
+    ("+block-head", {"block_head_train": True}),
+    ("+quad", {"block_head_train": True, "quad_block_train": True}),
 ]
 
 

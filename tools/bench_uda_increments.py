@@ -3,10 +3,12 @@
 Same discipline as tools/bench_increments.py, for bench_extra.bench_uda_dsec's
 exact step (B8 images + B8 x T20 x 100k events at 440x640):
 
-  0. xla-cells       lstm_impl='xla', blocked head off, resnet stem 'xla'
-  1. int8-cells      fused Pallas int8 train cells on the frozen rollout
-  2. +block-head     blocked SegmentationHead in all 3 UDA head passes
-  3. +blocked-stem   resnet stem+layer1 in s2d block space (the default)
+  0. xla-cells       lstm_impl='xla', resnet stem 'xla'
+  1. int8-cells      fused Pallas int8 train cells, stem 'xla'
+  2. +blocked-stem   resnet stem+layer1 in s2d block space (the default)
+  3. +block-head     blocked SegmentationHead in all 3 UDA head passes
+                     (opt-in: the supervised ladder measured it a full-step
+                     regression on v5e, so auto resolves it OFF)
 
 The resnet stem toggle is a module attribute (models/resnet.py stem_impl),
 swapped via dataclasses.replace on the built front module — same params.
@@ -24,11 +26,10 @@ sys.path.insert(0, "/root/repo")
 import bench_extra  # noqa: E402
 
 LADDER = [
-    ("xla-cells", {"block_head_train": False,
-                   "lstm_impl_train": None, "lstm_impl": "xla"}, "xla"),
-    ("int8-cells", {"block_head_train": False}, "xla"),
-    ("+block-head", {}, "xla"),
+    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, "xla"),
+    ("int8-cells", {}, "xla"),
     ("+blocked-stem (default)", {}, "auto"),
+    ("+block-head", {"block_head_train": True}, "auto"),
 ]
 
 
