@@ -171,6 +171,43 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     windows_per_sec = BATCH * WINDOWS / dt
+
+    # Exact-math companion metric (VERDICT r3 #3): the same step with bf16
+    # Pallas cells (no int8 gate quantization anywhere) — published beside
+    # the default so the int8 rollout's speed/accuracy trade is visible,
+    # not buried as a ladder rung. Printed BEFORE the headline so drivers
+    # that parse the last JSON line still read the headline. Opt-out with
+    # BENCH_SKIP_EXACT=1 (wrappers that run the attribution ladder
+    # separately).
+    import os
+    if cfg.model.lstm_impl_train == "pallas_int8" and not int(
+            os.environ.get("BENCH_SKIP_EXACT", "0")):
+        try:
+            cfg2 = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, lstm_impl_train=None))
+            mods2 = build_modules(cfg2)
+            state2 = init_state(mods2, jax.random.PRNGKey(0))
+            step2 = sup.make_train_step(mods2, pipeline)
+            state2, out2 = step2(state2, batch)
+            float(out2["loss"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state2, out2 = step2(state2, batch)
+            float(out2["loss"])
+            dt2 = (time.perf_counter() - t0) / iters
+            wps2 = BATCH * WINDOWS / dt2
+            print(json.dumps({
+                "metric": ("dsec_supervised_train_event_windows_per_sec_"
+                           "per_chip_exact_bf16"),
+                "value": round(wps2, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(wps2 / BASELINE_WINDOWS_PER_SEC, 3),
+            }))
+        except Exception as e:  # pragma: no cover - companion metric only
+            print(f"bench: exact-math companion failed ({e!r})",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "dsec_supervised_train_event_windows_per_sec_per_chip",
         "value": round(windows_per_sec, 2),

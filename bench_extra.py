@@ -10,9 +10,21 @@ Scenarios (BASELINE.json configs):
 Usage: python bench_extra.py
 """
 
+import json
 import time
 
 import numpy as np
+
+
+def emit(metric: str, windows_per_sec: float, baseline=None) -> None:
+    """One driver-style JSON line per config (VERDICT r3 #6): the >=5x
+    north star is per-chip throughput on EACH workload, so every scenario
+    publishes the same machine-readable record bench.py does."""
+    rec = {"metric": metric, "value": round(windows_per_sec, 2),
+           "unit": "windows/s"}
+    if baseline:
+        rec["vs_baseline"] = round(windows_per_sec / baseline, 3)
+    print(json.dumps(rec), flush=True)
 
 # Per-config reference-baseline estimates (windows/s on the reference's
 # GPU-class hardware), anchored at bench.py's grounded 160 w/s DSEC
@@ -118,6 +130,8 @@ def bench_supervised(name, *, b, t, n, sensor, label_hw, classes, pipe_kw):
     print(f"{name} supervised: {dt*1e3:.0f} ms/step -> "
           f"{b*t/dt:.0f} windows/s ({b*t/dt/base:.2f}x est. baseline "
           f"{base:.0f})", flush=True)
+    emit(f"{name.split('_')[0].lower()}_supervised_train_event_windows_"
+         "per_sec_per_chip", b * t / dt, base)
 
 
 UDA_DSEC_B, UDA_DSEC_T, UDA_DSEC_N = 8, 20, 100_000
@@ -186,6 +200,7 @@ def bench_uda_dsec():
     base = BASELINES["DSEC_uda"]
     print(f"DSEC UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s "
           f"({b*t/dt/base:.2f}x est. baseline {base:.0f})", flush=True)
+    emit("dsec_uda_train_event_windows_per_sec_per_chip", b * t / dt, base)
 
 
 def bench_uda_ddd17():
@@ -236,6 +251,7 @@ def bench_uda_ddd17():
     base = BASELINES["DDD17_uda"]
     print(f"DDD17 UDA: {dt*1e3:.0f} ms/step -> {b*t/dt:.0f} event-windows/s "
           f"({b*t/dt/base:.2f}x est. baseline {base:.0f})", flush=True)
+    emit("ddd17_uda_train_event_windows_per_sec_per_chip", b * t / dt, base)
 
 
 def bench_streaming_eval(b=1, n=100_000, windows_per_score=20, iters=8,
@@ -296,6 +312,7 @@ def bench_streaming_eval(b=1, n=100_000, windows_per_score=20, iters=8,
     dt = (time.perf_counter() - t0) / total
     print(f"DSEC streaming eval (B={b}, labeled 1/{windows_per_score}): "
           f"{dt*1e3:.1f} ms/window -> {b/dt:.0f} windows/s", flush=True)
+    emit("dsec_streaming_eval_windows_per_sec_per_chip", b / dt)
 
 
 class _SyntheticDSEC:

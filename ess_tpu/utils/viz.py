@@ -218,6 +218,43 @@ def flow_rgb(flow_n2hw: np.ndarray) -> np.ndarray:
     return out
 
 
+def disparity_rgb(disp_hw: np.ndarray, *, max_disp: float = 80.0) -> np.ndarray:
+    """(H, W) disparity map -> (H, W, 3) uint8 RGB via the inferno colormap.
+
+    Capability parity with disp_img_to_rgb_img
+    (/root/reference/DSEC/dataset/visualization.py:7-22): pixels with
+    disparity <= 0 stay black; positive disparities normalize to
+    [0, max_disp] (clipped) and map through matplotlib's inferno. The
+    reference converts RGB->BGR for cv2.imshow at the end; we keep RGB (the
+    writers here consume RGB) — byte-identical per channel otherwise.
+    Falls back to a grayscale ramp when matplotlib is unavailable.
+    """
+    disp = np.asarray(disp_hw, np.float64)
+    mask = disp > 0
+    norm = np.clip(disp / max_disp, 0.0, 1.0)
+    try:
+        import matplotlib.cm as cm
+        rgb = cm.get_cmap("inferno")(norm)[..., :3]
+    except ImportError:  # pragma: no cover - matplotlib is baked in here
+        rgb = np.repeat(norm[..., None], 3, axis=-1)
+    out = np.zeros(disp.shape + (3,), np.float64)
+    out[mask] = rgb[mask]
+    return (255 * out).astype(np.uint8)
+
+
+def disparity_overlay(image_1c: np.ndarray, disp_rgb: np.ndarray,
+                      *, alpha: float = 0.1) -> np.ndarray:
+    """Blend a grayscale image under a disparity RGB map (uint8).
+
+    get_disp_overlay semantics (DSEC/dataset/visualization.py:29-32):
+    ``alpha * image + (1 - alpha) * disp_rgb`` with cv2.addWeighted's
+    round-half-away-from-zero saturating arithmetic.
+    """
+    img = np.repeat(np.asarray(image_1c, np.float64)[..., None], 3, axis=-1)
+    out = alpha * img + (1.0 - alpha) * np.asarray(disp_rgb, np.float64)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 def count_params(pytree) -> int:
     """Total parameter count of a pytree (BaseModel.summary capability,
     e2vid/base/base_model.py:14-30)."""

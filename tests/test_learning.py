@@ -81,3 +81,48 @@ def test_uda_cycle_alignment_improves():
     img1 = float(losses["semseg_sensor_a_loss"])
     assert cyc1 < 0.8 * cyc0, (cyc0, cyc1)
     assert img1 < 0.9 * img0, (img0, img1)
+
+
+def test_supervised_int8_rollout_tracks_exact():
+    """Task-level bound on the int8 frozen rollout (VERDICT r3 #3): training
+    with the bench configs' `lstm_impl_train='pallas_int8'` (interpret-mode
+    kernel on CPU) must land at the same place as the exact path — final
+    loss within 10% relative and mIoU within 5 points after identical
+    optimization from identical init. Per-cell error bounds live in
+    tests/test_conv_lstm_pallas.py; this closes the loop at the loss/mIoU
+    level for the headline bench configuration."""
+    results = {}
+    for name, impl in (("exact", None), ("int8", "pallas_int8_interpret")):
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            optim=cfg.optim.__class__(
+                **{**cfg.optim.__dict__, "lr_back": 1e-2}),
+            model=cfg.model.__class__(
+                **{**cfg.model.__dict__,
+                   "lstm_impl": "xla",  # eval identical in both runs;
+                   # only the frozen train rollout differs
+                   "lstm_impl_train": impl}))
+        mods = build_modules(cfg)
+        state = init_state(mods, jax.random.PRNGKey(0))
+        pipe = EventPipeline(PipelineConfig(
+            sensor_height=16, sensor_width=16, num_bins=5, normalize=True))
+        ds = SyntheticEvents(length=2, height=16, width=16, nr_events_data=2,
+                             nr_events_window=256, num_classes=6)
+        batch = to_soa(next(iter(BatchLoader(ds, 2, shuffle=False))))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        train = sup.make_train_step(mods, pipe)
+        ev = sup.make_eval_step(mods, pipe)
+        for _ in range(120):
+            state, out = train(state, batch)
+        # eval on the EXACT cell both times (bench semantics: eval/val
+        # always run the exact path; only the frozen train rollout is int8)
+        res = ev(state, batch)
+        m = MetricsSemseg(6, 255, cfg.task.class_names)
+        m.update_confusion(np.asarray(res["cm"]))
+        results[name] = (float(res["loss"]), m.summary()["mean_iou"])
+
+    loss_e, miou_e = results["exact"]
+    loss_q, miou_q = results["int8"]
+    assert abs(loss_q - loss_e) <= 0.10 * abs(loss_e) + 0.02, results
+    assert abs(miou_q - miou_e) <= 5.0, results
+    assert miou_q > 30, results

@@ -176,8 +176,10 @@ def test_quad_gate_requires_multiple_encoders():
 
 
 def test_quad_gate_explicit_pin():
-    """quad_block_train=False pins the standard rollout (the bench.py
-    compile-failure escape hatch); True cannot force an illegal remap."""
+    """quad_block_train=False is an explicit OFF pin (equivalent to the
+    None default since the round-3 ladder measured quad a full-step
+    regression and auto now resolves it OFF); True cannot force an
+    illegal remap."""
     import dataclasses
 
     from ess_tpu.core.config import (

@@ -90,3 +90,38 @@ def test_flow_rgb():
     # +x maps to the red sector, -x to blue (hue = angle)
     assert rgb2[0, 0, 2, 0] > rgb2[0, 2, 2, 0]
     assert rgb2[0, 2, 2, -1] > rgb2[0, 0, 2, -1]
+
+
+def test_disparity_rgb():
+    from ess_tpu.utils.viz import disparity_rgb
+
+    disp = np.zeros((6, 8), np.float32)
+    disp[1, 2] = 40.0    # mid-range
+    disp[3, 4] = 200.0   # clips at max_disp
+    rgb = disparity_rgb(disp)
+    assert rgb.shape == (6, 8, 3) and rgb.dtype == np.uint8
+    # zero-disparity pixels stay black (visualization.py:7-19 masks by > 0)
+    assert np.all(rgb[0, 0] == 0)
+    assert rgb[1, 2].sum() > 0
+    # clipped max maps to inferno's bright end (red+green heavy)
+    assert rgb[3, 4, 0] > 200
+    try:
+        import matplotlib.cm as cm
+        expect = (255 * np.asarray(
+            cm.get_cmap("inferno")(np.clip(40.0 / 80.0, 0, 1))[:3]))
+        assert np.allclose(rgb[1, 2], expect.astype(np.uint8))
+    except ImportError:
+        pass
+
+
+def test_disparity_overlay():
+    from ess_tpu.utils.viz import disparity_overlay
+
+    img = np.full((4, 4), 100.0, np.float32)
+    drgb = np.zeros((4, 4, 3), np.uint8)
+    drgb[..., 0] = 200
+    out = disparity_overlay(img, drgb)
+    assert out.shape == (4, 4, 3) and out.dtype == np.uint8
+    # cv2.addWeighted(image, 0.1, disp, 0.9, 0) semantics
+    assert np.all(out[..., 0] == 190)  # 0.1*100 + 0.9*200
+    assert np.all(out[..., 1] == 10)   # 0.1*100
