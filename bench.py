@@ -69,20 +69,22 @@ def make_cfg():
     )
 
 
-def make_pipeline():
+def make_pipeline(**overrides):
     from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
 
     # DSEC production path: float host-rectified coords -> trilinear kernel
     return EventPipeline(
         PipelineConfig(
             sensor_height=SENSOR_H, sensor_width=SENSOR_W, num_bins=BINS,
-            crop_bottom=40, trilinear=True, normalize=True))
+            crop_bottom=40, trilinear=True, normalize=True, **overrides))
 
 
-def make_batch():
+def make_batch(folded: bool = False):
     """Synthetic DSEC step batch: tile-sorted SoA events, exactly the shape
     the loader's worker threads emit (shared with tools/bench_increments.py
-    and tools/profile_bench.py)."""
+    and tools/profile_bench.py). ``folded=True`` bins with the ghost-folded
+    band layout instead (ops/voxel_pallas.host_band_bin_folded — the
+    fold-free kernel mode)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
@@ -94,22 +96,32 @@ def make_batch():
     raw[..., 3] = rng.integers(0, 2, shape)
     valid = np.ones(shape, bool)
 
-    # host tile binning, exactly as the DSEC loader does in worker threads
-    from ess_tpu.ops.voxel_pallas import host_tile_bin
-    sraw = np.empty_like(raw)
-    svalid = np.empty_like(valid)
-    offs = []
+    # host binning, exactly as the DSEC loader does in worker threads
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded, host_tile_bin
+    sraw, svalid, offs = [], [], []
     for b in range(BATCH):
-        sraw[b], svalid[b], o = host_tile_bin(
-            raw[b], valid[b], height=SENSOR_H, width=SENSOR_W)
+        if folded:
+            r2, v2, o = host_band_bin_folded(
+                raw[b], valid[b], height=SENSOR_H, width=SENSOR_W,
+                bins=BINS, trilinear=True)
+        else:
+            r2, v2, o = host_tile_bin(
+                raw[b], valid[b], height=SENSOR_H, width=SENSOR_W)
+        sraw.append(r2)
+        svalid.append(v2)
         offs.append(o)
+    sraw = np.stack(sraw)
+    svalid = np.stack(svalid)
+    # key PRESENCE is the (jit-static) mode marker: band offsets select the
+    # fold-free kernel, tile offsets the halo kernel
+    offs_key = "ev_band_offsets" if folded else "ev_tile_offsets"
     return {
         "ev_x": jnp.asarray(sraw[..., 0]),
         "ev_y": jnp.asarray(sraw[..., 1]),
         "ev_t": jnp.asarray(sraw[..., 2]),
         "ev_p": jnp.asarray(sraw[..., 3]),
         "ev_valid": jnp.asarray(svalid),
-        "ev_tile_offsets": jnp.asarray(np.stack(offs)),
+        offs_key: jnp.asarray(np.stack(offs)),
         "label": jnp.asarray(
             rng.integers(0, NUM_CLASSES, (BATCH, 440, 640)), jnp.int32),
     }
@@ -126,7 +138,10 @@ def main() -> None:
     state = init_state(mods, jax.random.PRNGKey(0))
     pipeline = make_pipeline()
     step = sup.make_train_step(mods, pipeline)
-    batch = make_batch()
+    # ghost-folded band binning (the r4 production DSEC wire): fold-free
+    # kernel mode, measured +27 w/s over halo tiles (tools/bench_increments
+    # rung 2). voxel_oh_dtype='int8' measured -11 w/s and stays opt-in.
+    batch = make_batch(folded=True)
 
     # compile + warmup (fetch the loss scalar: on tunneled backends
     # block_until_ready does not actually synchronize). The Pallas surfaces

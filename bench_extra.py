@@ -48,9 +48,12 @@ BASELINES = {
 
 
 def make_event_batch(rng, b, t, n, sensor_h, sensor_w, label_hw, classes,
-                     int_coords=False):
+                     int_coords=False, folded=True):
+    """Synthetic loader-shaped batch. ``folded=True`` (default, matching the
+    r4 DSEC loader wire) emits ghost-folded band bins for the fold-free
+    kernel; False keeps halo tile bins."""
     import jax.numpy as jnp
-    from ess_tpu.ops.voxel_pallas import host_tile_bin
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded, host_tile_bin
 
     shape = (b, t, n)
     raw = np.zeros(shape + (4,), np.float32)
@@ -63,18 +66,25 @@ def make_event_batch(rng, b, t, n, sensor_h, sensor_w, label_hw, classes,
     raw[..., 2] = np.sort(rng.uniform(0, 5e4, shape), axis=-1)
     raw[..., 3] = rng.integers(0, 2, shape)
     valid = np.ones(shape, bool)
-    sraw = np.empty_like(raw)
-    svalid = np.empty_like(valid)
-    offs = []
+    sraw, svalid, offs = [], [], []
     for i in range(b):
-        sraw[i], svalid[i], o = host_tile_bin(
-            raw[i], valid[i], height=sensor_h, width=sensor_w)
+        if folded:
+            r2, v2, o = host_band_bin_folded(
+                raw[i], valid[i], height=sensor_h, width=sensor_w,
+                trilinear=not int_coords)
+        else:
+            r2, v2, o = host_tile_bin(
+                raw[i], valid[i], height=sensor_h, width=sensor_w)
+        sraw.append(r2)
+        svalid.append(v2)
         offs.append(o)
+    sraw, svalid = np.stack(sraw), np.stack(svalid)
+    offs_key = "ev_band_offsets" if folded else "ev_tile_offsets"
     return {
         "ev_x": jnp.asarray(sraw[..., 0]), "ev_y": jnp.asarray(sraw[..., 1]),
         "ev_t": jnp.asarray(sraw[..., 2]), "ev_p": jnp.asarray(sraw[..., 3]),
         "ev_valid": jnp.asarray(svalid),
-        "ev_tile_offsets": jnp.asarray(np.stack(offs)),
+        offs_key: jnp.asarray(np.stack(offs)),
         "label": jnp.asarray(
             rng.integers(0, classes, (b,) + label_hw), jnp.int32),
     }

@@ -56,6 +56,9 @@ class DSECSequence:
         tile_bin: bool = True,
         tile_bins: int = 5,
         wire_format: str = "f32",   # 'f32' | 'packed' (u16 quantized SoA)
+        binning: str = "folded",    # 'folded' (ghost-folded band bins, the
+                                    # fold-free kernel; r4 default, +27 w/s)
+                                    # | 'tile' (halo-tile kernel)
     ):
         self.seq_path = seq_path
         self.mode = mode
@@ -65,6 +68,9 @@ class DSECSequence:
         self.tile_bin = tile_bin
         self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
         self.wire_format = wire_format
+        # the packed u16 wire cannot carry pre-weighted fractional
+        # polarities — folded binning requires the f32 wire
+        self.binning = "tile" if wire_format == "packed" else binning
         self.delta_t_us = nr_events_data * delta_t_per_data * 1000
 
         ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
@@ -113,7 +119,7 @@ class DSECSequence:
             if self.tile_bin:
                 got = self._fused_ingest_duration(ts_start, per_us, t_dim)
                 if got is not None:
-                    if isinstance(got, dict):   # packed wire
+                    if isinstance(got, dict):   # packed wire / folded bins
                         got["label"] = label
                         return got
                     raw, valid, offsets = got
@@ -136,6 +142,9 @@ class DSECSequence:
             if self.tile_bin:
                 got = self._fused_ingest(ev, t_dim)
                 if got is not None:
+                    if isinstance(got, dict):   # folded band bins
+                        got["label"] = label
+                        return got
                     raw, valid, offsets = got
                     return {"raw_events": raw, "valid": valid,
                             "tile_offsets": offsets, "label": label}
@@ -146,13 +155,26 @@ class DSECSequence:
         raw, valid = pad_windows(chunks, self.nr_events_window)
         out = {"raw_events": raw, "valid": valid, "label": label}
         if self.tile_bin:
-            # pre-sort by kernel tile so the device skips its lax.sort
-            from ess_tpu.ops.voxel_pallas import host_tile_bin
-            raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
-                bins=self.tile_bins)
-            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+            out.update(self._host_bin(raw, valid))
         return out
+
+    def _host_bin(self, raw, valid) -> Dict[str, np.ndarray]:
+        """Numpy-chain host binning of already-rectified padded windows:
+        ghost-folded band bins (fold-free kernel) or halo tile bins,
+        per ``self.binning`` — the fallback when the fused native ingest
+        is unavailable (it pre-sorts so the device skips its lax.sort)."""
+        from ess_tpu.ops.voxel_pallas import host_band_bin_folded, host_tile_bin
+
+        if self.binning == "folded":
+            raw, valid, offsets = host_band_bin_folded(
+                raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
+                bins=self.tile_bins, trilinear=True)
+            return {"raw_events": raw, "valid": valid,
+                    "band_offsets": offsets}
+        raw, valid, offsets = host_tile_bin(
+            raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
+            bins=self.tile_bins)
+        return {"raw_events": raw, "valid": valid, "tile_offsets": offsets}
 
     def _fused_ingest_duration(self, ts_start: float, per_us: float,
                                t_dim: int):
@@ -175,16 +197,31 @@ class DSECSequence:
                                                                 lo + 1))
         starts = np.asarray(bounds[:-1], np.int64) - lo
         ends = np.asarray(bounds[1:], np.int64) - lo
-        fn = (native.ingest_rectify_bin_packed
-              if self.wire_format == "packed" else native.ingest_rectify_bin)
-        return fn(ev, starts, ends, self.nr_events_window, self.rectify_map,
-                  tile_h=tile_h_for_bins(self.tile_bins))
+        th = tile_h_for_bins(self.tile_bins)
+        if self.wire_format == "packed":
+            return native.ingest_rectify_bin_packed(
+                ev, starts, ends, self.nr_events_window, self.rectify_map,
+                tile_h=th)
+        if self.binning == "folded":
+            got = native.ingest_rectify_bin_folded(
+                ev, starts, ends, self.nr_events_window, self.rectify_map,
+                tile_h=th)
+            if got is None:
+                return None
+            raw, valid, offsets = got
+            return {"raw_events": raw, "valid": valid,
+                    "band_offsets": offsets}
+        return native.ingest_rectify_bin(
+            ev, starts, ends, self.nr_events_window, self.rectify_map,
+            tile_h=th)
 
     def _fused_ingest(self, ev, t_dim: int, *, packed: bool = False):
-        """Native one-pass rectify + pad + tile-bin of raw h5 columns
-        (native/ess_host.cpp ingest_rectify_bin_f32). ~4x the numpy chain
-        on a single core — the loader-side hot path. ``packed=True`` emits
-        the quantized u16 wire format (7 bytes/event host->device)."""
+        """Native one-pass rectify + pad + host binning of raw h5 columns
+        (native/ess_host.cpp). ~4x the numpy chain on a single core — the
+        loader-side hot path. ``packed=True`` emits the quantized u16 wire
+        format (7 bytes/event host->device); otherwise ``self.binning``
+        picks ghost-folded band bins (dict with "band_offsets") or halo
+        tile bins (tuple)."""
         from ess_tpu.data import native
         from ess_tpu.ops.voxel_pallas import tile_h_for_bins
 
@@ -192,10 +229,23 @@ class DSECSequence:
         per = n_total // t_dim
         starts = np.arange(t_dim, dtype=np.int64) * per
         ends = starts + per
-        fn = (native.ingest_rectify_bin_packed if packed
-              else native.ingest_rectify_bin)
-        return fn(ev, starts, ends, self.nr_events_window, self.rectify_map,
-                  tile_h=tile_h_for_bins(self.tile_bins))
+        th = tile_h_for_bins(self.tile_bins)
+        if packed:
+            return native.ingest_rectify_bin_packed(
+                ev, starts, ends, self.nr_events_window, self.rectify_map,
+                tile_h=th)
+        if self.binning == "folded":
+            got = native.ingest_rectify_bin_folded(
+                ev, starts, ends, self.nr_events_window, self.rectify_map,
+                tile_h=th)
+            if got is None:
+                return None
+            raw, valid, offsets = got
+            return {"raw_events": raw, "valid": valid,
+                    "band_offsets": offsets}
+        return native.ingest_rectify_bin(
+            ev, starts, ends, self.nr_events_window, self.rectify_map,
+            tile_h=th)
 
 
 class DSECEvents:
@@ -234,24 +284,60 @@ class SequenceRecurrent:
     long-horizon eval with carried ConvLSTM state.
 
     Each item is ONE window (T=1); ``is_first`` marks sequence starts where
-    the consumer must reset recurrent state. A label attaches to the window
-    CONTAINING its exposure timestamp's event index — the fixed window grid
-    cannot end-align with arbitrary label times, so the scored prediction
-    sees up to one window (~50 ms) of events past the label. (The
-    reference's fixed-count streaming branch loads no labels at all,
-    sequence_recurrent.py:214-221 — scoring here is added capability.)
+    the consumer must reset recurrent state. Two label-alignment modes:
+
+    - free-running (default): a label attaches to the window CONTAINING its
+      exposure timestamp's event index — the fixed window grid cannot
+      end-align with arbitrary label times, so the scored prediction sees up
+      to one window (~50 ms) of events past the label. (The reference's
+      fixed-count streaming branch loads no labels at all,
+      sequence_recurrent.py:214-221 — scoring here is added capability.)
+    - ``align_labels=True`` (exposure-aligned): the window grid CUTS at each
+      label's event index (slicer.index_of_time), so a scored window ends
+      exactly at the label's exposure time and the prediction sees no future
+      events — mIoU is then comparable to the reference's exposure-aligned
+      val protocol (sequence_recurrent.py:249-267 loads labels at exact
+      timestamps on its fixed-duration branch). Labeled windows may be
+      shorter than ``nr_events_window`` (capacity-padded, masked); the
+      stream still tiles the sequence without gaps so carried state matches
+      the free-running mode event-for-event.
     """
 
-    def __init__(self, seq: DSECSequence, nr_events_window: int = 100000):
+    def __init__(self, seq: DSECSequence, nr_events_window: int = 100000,
+                 align_labels: bool = False):
         self.seq = seq
         self.nr_events_window = nr_events_window
+        self.align_labels = align_labels
         n_events = len(seq.store)
-        self.n_windows = n_events // nr_events_window
         # event index of each labeled timestamp
-        self.label_idx = {}
+        label_at = []  # (event index, label index), ascending
         for li in range(len(seq.timestamps)):
             idx = seq.slicer.index_of_time(int(seq.timestamps[li]))
             if idx is not None:
+                label_at.append((int(idx), li))
+        label_at.sort()
+        if align_labels:
+            # window plan: full-capacity windows, cut early where a label's
+            # event index falls inside — that window ends AT the label
+            self.bounds = [0]
+            self.label_idx = {}
+            pos = 0
+            while self.bounds[-1] + nr_events_window <= n_events:
+                cur = self.bounds[-1]
+                end = cur + nr_events_window
+                while pos < len(label_at) and label_at[pos][0] <= cur:
+                    pos += 1  # unscoreable: label at/before the cut already
+                if pos < len(label_at) and label_at[pos][0] <= end:
+                    end, li = label_at[pos]
+                    self.label_idx[len(self.bounds) - 1] = li
+                    pos += 1
+                self.bounds.append(end)
+            self.n_windows = len(self.bounds) - 1
+        else:
+            self.n_windows = n_events // nr_events_window
+            self.bounds = None
+            self.label_idx = {}
+            for idx, li in label_at:
                 self.label_idx[idx // nr_events_window] = li
 
     def __len__(self) -> int:
@@ -265,8 +351,11 @@ class SequenceRecurrent:
             # terminate (a missing IndexError makes it loop forever on
             # empty windows)
             raise IndexError(i)
-        ev = self.seq.slicer.get_events_fixed_num_recurrent(
-            i * self.nr_events_window, (i + 1) * self.nr_events_window)
+        if self.bounds is not None:
+            lo, hi = self.bounds[i], self.bounds[i + 1]
+        else:
+            lo, hi = i * self.nr_events_window, (i + 1) * self.nr_events_window
+        ev = self.seq.slicer.get_events_fixed_num_recurrent(lo, hi)
         # every streamed window is rectified exactly like the random-access
         # path (reference sequence_recurrent.py:239)
         out = {"is_first": np.bool_(i == 0)}
@@ -279,19 +368,19 @@ class SequenceRecurrent:
         if not done and self.seq.tile_bin:
             got = self.seq._fused_ingest(ev, 1)
             if got is not None:
-                raw, valid, offsets = got
-                out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+                if isinstance(got, dict):   # folded band bins
+                    out.update(got)
+                else:
+                    raw, valid, offsets = got
+                    out.update(raw_events=raw, valid=valid,
+                               tile_offsets=offsets)
                 done = True
         if not done:
             events = self.seq._rectify(events_dict_to_xytp(ev))
             raw, valid = pad_windows([events], self.nr_events_window)
             out.update(raw_events=raw, valid=valid)
             if self.seq.tile_bin:
-                from ess_tpu.ops.voxel_pallas import host_tile_bin
-                raw, valid, offsets = host_tile_bin(
-                    raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
-                    bins=self.seq.tile_bins)
-                out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+                out.update(self.seq._host_bin(raw, valid))
         li = self.label_idx.get(i)
         if li is not None:
             out["label"] = cv2.imread(self.seq.label_files[li], 0).astype(np.uint8)

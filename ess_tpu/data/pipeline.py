@@ -60,6 +60,17 @@ class PipelineConfig:
     use_pallas: Optional[bool] = None  # None = auto (Pallas on TPU)
     pallas_interpret: bool = False   # run the kernel interpreted (CPU mesh
                                      # dryruns/tests of the production path)
+    # tent-plane operand dtype of the Pallas voxelizer: 'bfloat16'
+    # (default, full-rate MXU), 'float32' (scatter bit-parity), or 'int8'
+    # (double-rate MXU, 1/127-step corner weights — see
+    # ops/voxel_pallas.voxelize_tiled)
+    voxel_oh_dtype: str = "bfloat16"
+
+    @property
+    def _oh_dtype(self):
+        import jax.numpy as _jnp
+        return {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32,
+                "int8": _jnp.int8}[self.voxel_oh_dtype]
 
     @property
     def channels(self) -> int:
@@ -101,10 +112,12 @@ def to_soa(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out["ev_t"] = np.ascontiguousarray(raw[..., 2])
     out["ev_p"] = np.ascontiguousarray(raw[..., 3])
     out["ev_valid"] = np.ascontiguousarray(batch["valid"])
-    # host-binned tile offsets ride along when the loader produced them
-    if "tile_offsets" in batch:
-        out["ev_tile_offsets"] = batch["tile_offsets"]
-        out.pop("tile_offsets", None)
+    # host-binned offsets ride along when the loader produced them (band
+    # offsets mark the pre-folded fold-free kernel mode)
+    for k in ("tile_offsets", "band_offsets"):
+        if k in batch:
+            out["ev_" + k] = batch[k]
+            out.pop(k, None)
     return out
 
 
@@ -252,7 +265,8 @@ class EventPipeline:
         return grids
 
     def make_window_fn(
-        self, aug: AugmentParams, *, t_prenormalized: bool = False
+        self, aug: AugmentParams, *, t_prenormalized: bool = False,
+        offsets_kind: str = "tile",
     ) -> Callable[..., jax.Array]:
         """fn(x, y, t, p, valid, tile_offsets=None) each (B, N)
         -> (B, H_out, W_out, C)."""
@@ -261,6 +275,7 @@ class EventPipeline:
         def fn(x, y, t, p, valid, tile_offsets=None):
             grids = voxelize_window_soa(
                 x, y, t, p, valid,
+                offsets_kind=offsets_kind,
                 num_bins=cfg.num_bins,
                 height=cfg.sensor_height, width=cfg.sensor_width,
                 representation=cfg.representation,
@@ -271,6 +286,7 @@ class EventPipeline:
                 tile_offsets=tile_offsets,
                 use_pallas=cfg.use_pallas,
                 pallas_interpret=cfg.pallas_interpret,
+                oh_dtype=cfg._oh_dtype,
                 t_prenormalized=t_prenormalized,
             )
             return self._transform_grid(grids, aug)
@@ -322,6 +338,9 @@ class EventPipeline:
         if "ev_xq" in batch:
             batch = self.decode_packed(batch)
         t_prenorm = bool(batch.get("ev_t_prenormalized", False))
+        # pre-folded band-binned batches (host_band_bin_folded) carry
+        # "ev_band_offsets" — key PRESENCE is the (jit-static) mode marker
+        offsets_kind = "band" if "ev_band_offsets" in batch else "tile"
         b, t_dim, n = batch["ev_x"].shape
         if time_major:
             # flatten the (small) event buffers window-major so the kernel
@@ -330,7 +349,8 @@ class EventPipeline:
             flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(t_dim * b, n)
         else:
             flat = lambda a: a.reshape(b * t_dim, n)
-        offs = batch.get("ev_tile_offsets")
+        offs = (batch.get("ev_band_offsets") if offsets_kind == "band"
+                else batch.get("ev_tile_offsets"))
         if offs is not None and time_major:
             offs = jnp.swapaxes(offs, 0, 1)
         if layout == "s4d":
@@ -351,9 +371,11 @@ class EventPipeline:
             if offs is not None else None,
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
+            oh_dtype=cfg._oh_dtype,
             layout=layout,
             out_dtype=out_dtype if layout in ("s2d", "s4d") else jnp.float32,
             t_prenormalized=t_prenorm,
+            offsets_kind=offsets_kind,
         )
         aug = self.sample_augment(rng, b, train=train)
         if time_major:

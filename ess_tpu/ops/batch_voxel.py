@@ -89,7 +89,7 @@ def _voxelize_pallas(
     x, y, t, p, valid, *, num_bins, height, width, separate_pol, trilinear,
     tile_offsets=None, interpret: bool = False, layout: str = "nhwc",
     oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
-    t_prenormalized: bool = False,
+    t_prenormalized: bool = False, offsets_kind: str = "tile",
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -105,7 +105,7 @@ def _voxelize_pallas(
     the caller crops in block space).
     """
     from ess_tpu.ops.voxel_pallas import (
-        bin_events_device, tile_h_for_bins, voxelize_tiled)
+        bin_events_device, tile_h_for_bins, voxelize_folded, voxelize_tiled)
 
     # events with a coordinate in (-1, 0) still have one in-frame corner;
     # the kernel deposits its correct bilinear weight (the torch reference
@@ -115,7 +115,14 @@ def _voxelize_pallas(
     ok = valid & (x > -1) & (x < width) & (y > -1) & (y < height)
     ts = (t.astype(jnp.float32) if t_prenormalized
           else _masked_time_norm(t.astype(jnp.float32), valid, num_bins))
-    pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
+    if offsets_kind == "band":
+        # pre-folded events (host_band_bin_folded): p arrives PRE-WEIGHTED
+        # (signed, edge/boundary fractions already folded in) and every
+        # coordinate is in-frame by construction
+        assert tile_offsets is not None, "band offsets require host binning"
+        pol = p.astype(jnp.float32)
+    else:
+        pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
 
     if not trilinear:
         # integer coords => zero spatial fractions => pure temporal bilinear
@@ -126,12 +133,23 @@ def _voxelize_pallas(
     bins_eff = effective_bins(num_bins, separate_pol, trilinear)
     if bins_eff != num_bins:
         ts = ts + jnp.where(pol < 0, float(num_bins), 0.0)
-        pol = jnp.ones_like(pol)
+        pol = jnp.abs(pol)  # preserves pre-weighted magnitudes (band mode)
 
     th = tile_h_for_bins(bins_eff)
     hp = ((height + th - 1) // th) * th
     wp = ((width + 127) // 128) * 128
 
+    if offsets_kind == "band":
+        grid = voxelize_folded(
+            x.astype(jnp.float32), y.astype(jnp.float32), ts,
+            jnp.where(ok, pol, 0.0), tile_offsets,
+            bins=bins_eff, height=hp, width=wp, interpret=interpret,
+            layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype)
+        if layout == "s4d":
+            return grid[:, : height // 4, : width // 4, :]
+        if layout == "s2d":
+            return grid[:, : height // 2, : width // 2, :]
+        return grid[:, :height, :width, :]
     if tile_offsets is None:
         xs, ys, tss, ps, offsets = jax.vmap(
             lambda a, b_, c, d, v: bin_events_device(
@@ -176,6 +194,7 @@ def voxelize_window_soa(
     oh_dtype=jnp.bfloat16,
     out_dtype=jnp.float32,
     t_prenormalized: bool = False,
+    offsets_kind: str = "tile",
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -210,7 +229,8 @@ def voxelize_window_soa(
             separate_pol=separate_pol, trilinear=trilinear,
             tile_offsets=tile_offsets, interpret=pallas_interpret,
             layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
-            t_prenormalized=t_prenormalized)  # NHWC or s2d blocks
+            t_prenormalized=t_prenormalized,
+            offsets_kind=offsets_kind)  # NHWC or s2d blocks
         if normalize:
             flat = grid.reshape(grid.shape[0], 1, -1)
             grid = _normalize_flat(flat).reshape(grid.shape)

@@ -156,8 +156,23 @@ N_BUF = 4         # DMA buffer depth (prefetch distance N_BUF - 1 hides the
                   # per-block DMA latency behind the plane construction)
 
 
+INT8_SCALE = 127.0   # per-plane quantization scale of the int8 MXU path
+
+
 def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
-            bins: int, tile_h: int, k_tiles: int, chunk: int, oh_dtype):
+            bins: int, row_gap: int, rows: int, k_tiles: int,
+            col_slot: int, chunk: int, oh_dtype):
+    """Shared tent-plane MXU accumulator for both kernel modes.
+
+    Halo mode (voxelize_tiled): row_gap = tile_h + 1 (each bin's block
+    carries a +1 halo row), col_slot = COL_SLOT (128 + halo + pad), k_tiles
+    spatial tiles per program.
+
+    Pre-folded mode (voxelize_folded): row_gap = tile_h (gap-free rows —
+    the host rewrote boundary events so nothing ever crosses a row block),
+    col_slot = padded sensor width, k_tiles = 1 (one program per row band,
+    columns ARE global x) — the accumulator IS the output grid.
+    """
     b = pl.program_id(0)
     sup = pl.program_id(1)
     tid0 = sup * k_tiles
@@ -166,9 +181,16 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     end = offs_ref[b, tid0 + k_tiles]
     size = end - start
 
-    rows = _row_pad(bins, tile_h)
-    cols = k_tiles * COL_SLOT
+    cols = k_tiles * col_slot
     acc0 = jnp.zeros((rows, cols), jnp.float32)
+
+    # int8 path: both tent planes quantize to [-127, 127] (the ROW plane's
+    # x127 rides the precomputed s0/s1 scales; the COL plane's rides the
+    # iota/cx scaling below, making the tent slope 127/column), the MXU
+    # runs at its double int8 rate with exact int32 accumulation, and one
+    # 1/127^2 rescale folds into the f32 accumulator add.
+    quant = oh_dtype == jnp.int8
+    plane_scale = INT8_SCALE if quant else 1.0
 
     # Planes are built TRANSPOSED (events on lanes): the per-event fields
     # arrive lane-major from the DMA and broadcast down sublanes with no
@@ -177,8 +199,8 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     # col iota carries the supertile's global slot base: foreign events'
     # cx falls outside [tid0*COL_SLOT, tid0*COL_SLOT + cols) so their tent
     # column is identically zero — no in-range masking anywhere.
-    col_iota_s = (jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
-                  + tid0 * COL_SLOT).astype(jnp.float32)
+    col_iota_s = ((jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
+                   + tid0 * col_slot).astype(jnp.float32) * plane_scale)
     row_iota_f = jax.lax.broadcasted_iota(
         jnp.int32, (rows, chunk), 0).astype(jnp.float32)
 
@@ -215,15 +237,23 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
         # Both planes are tents: weight at position q is
         # max(0, 1 - |q - p|) for the two neighbouring integer positions —
         # exactly the bilinear split. The second time bin's row block
-        # starts exactly tile_h+1 rows below the first, so one subtraction
+        # starts exactly row_gap rows below the first, so one subtraction
         # feeds both row tents. A bin falling outside [0, bins) lands in
-        # the padded row range (>= bins*(tile_h+1)), which the halo fold
+        # the padded row range (>= bins*row_gap), which the consumer
         # slices away (its scale is zero anyway).
-        ohc_t = jnp.maximum(0.0, 1.0 - jnp.abs(col_iota_s - cx))
+        ohc_t = jnp.maximum(0.0, plane_scale - jnp.abs(col_iota_s - cx))
         d0 = row_iota_f - p0
         ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
-                 + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - (tile_h + 1))))
+                 + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
 
+        if quant:
+            prod = jax.lax.dot_general(
+                jnp.round(ohr_t).astype(jnp.int8),
+                jnp.round(ohc_t).astype(jnp.int8),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc + prod.astype(jnp.float32) * (
+                1.0 / (INT8_SCALE * INT8_SCALE))
         return acc + jax.lax.dot_general(
             ohr_t.astype(oh_dtype), ohc_t.astype(oh_dtype),
             (((1,), (1,)), ((), ())),
@@ -253,7 +283,11 @@ def voxelize_tiled(
     ``oh_dtype``: dtype of the tent-plane matmul operands. bf16 (default)
     runs the MXU at full rate; per-corner weights round to 8-bit mantissa
     (~0.4% relative) with exact f32 accumulation. Pass jnp.float32 for
-    bit-parity with the scatter reference.
+    bit-parity with the scatter reference. Pass jnp.int8 for the
+    DOUBLE-rate int8 MXU path: each tent factor quantizes to 1/127 steps
+    (round-to-nearest; |error| per corner weight <= (w_r + w_c)/254 ~
+    0.8% absolute worst-case) with exact int32 accumulation and a single
+    f32 rescale per chunk — halves the kernel's dominant dot cost.
 
     ``out_dtype``: dtype of the tile accumulators written back to HBM (the
     in-VMEM accumulation is always f32). bf16 halves the halo-fold pass's
@@ -299,6 +333,13 @@ def voxelize_tiled(
     p0 = c0 * (tile_h + 1) + yl
     s0 = pol.astype(jnp.float32) * (1.0 - wt1) * wy_fold
     s1 = pol.astype(jnp.float32) * wt1 * wy_fold
+    if oh_dtype == jnp.int8:
+        # int8 quantization scales ride the prepass for free: the kernel's
+        # scaled col iota needs cx in the same x127 space, and the x127 row
+        # -plane scale folds into s0/s1 (see _kernel's `quant` branch)
+        cx = cx * INT8_SCALE
+        s0 = s0 * INT8_SCALE
+        s1 = s1 * INT8_SCALE
 
     # (B, n_blocks, 4, chunk): fields interleaved per block so each kernel
     # DMA is one contiguous 16*chunk-byte copy
@@ -309,8 +350,9 @@ def voxelize_tiled(
 
     grid = (b, n_tiles // k)
     out = pl.pallas_call(
-        functools.partial(_kernel, bins=bins, tile_h=tile_h,
-                          k_tiles=k, chunk=chunk, oh_dtype=oh_dtype),
+        functools.partial(_kernel, bins=bins, row_gap=tile_h + 1, rows=rows,
+                          k_tiles=k, col_slot=COL_SLOT, chunk=chunk,
+                          oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -573,3 +615,206 @@ def voxelize_trilinear_pallas(
     return voxelize_tiled(xs, ys, tss, ps, offsets,
                           bins=num_bins, height=height, width=width,
                           interpret=interpret, oh_dtype=oh_dtype)
+
+
+# ----------------------------------------------------------------------
+# Pre-folded kernel mode (round 4): no halos, no fold pass.
+#
+# The halo machinery above exists because a trilinear event whose corner
+# crosses a tile edge deposits into a neighbouring tile. Pre-folding moves
+# that split to the HOST binning pass instead: every boundary-crossing
+# event is rewritten to exact integer boundary coordinates with its
+# crossing weight folded into a PRE-WEIGHTED polarity, and the
+# across-band part becomes a "ghost" event appended to the next band
+# (fractional polarity, integer row position). With nothing ever crossing
+# a row block, the kernel can use a GAP-FREE row layout (bins * tile_h
+# rows, no +1 halo row) and a GLOBAL column space (cx = band * W + x, one
+# program per full row band, no slot padding): the accumulator written
+# back to HBM IS the voxel grid up to one pure reshape/transpose — the
+# halo-fold selection matmuls, slot compaction, and their relayout copies
+# (~10 ms of the r3 DSEC step) disappear, and the dot itself shrinks
+# (640 lanes exactly vs 5*136 padded to 768).
+# ----------------------------------------------------------------------
+
+
+def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
+                         bins: int = 5, trilinear: bool = True,
+                         capacity: Optional[int] = None):
+    """Host-side ghost-folding band binning for :func:`voxelize_folded`.
+
+    (T, N, 4) raw (x, y, t, p) windows + validity -> (raw2 (T, N2, 4),
+    valid2 (T, N2), band_offsets (T, n_bands + 1)) where N2 = ``capacity``
+    (default N + N//8 + 8 — ghosts are bounded by the events in each
+    band's last row, ~1/tile_h of the stream). The p column of the output
+    is PRE-WEIGHTED: +-1 scaled by any folded edge/boundary fractions
+    (the device kernel consumes it as-is, no sign extraction).
+
+    Rewrites (trilinear only; integer-coordinate temporal streams have no
+    spatial fractions and only get the +-1 conversion + band sort):
+    - frame edges: a coordinate in (-1, 0) or (dim-1, dim) keeps only its
+      in-frame corner — coordinate clamps to the exact integer edge, the
+      corner's weight multiplies into p (same math the scatter reference's
+      in-frame corner gets).
+    - band boundaries: y in (band_end-1, band_end) splits into the
+      original at exact row band_end-1 (weight folded) plus a ghost at
+      exact row band_end carrying the remainder — the two-corner bilinear
+      split, materialized as two single-corner events.
+    """
+    import numpy as np
+
+    th = tile_h_for_bins(bins)
+    hp = ((height + th - 1) // th) * th
+    n_bands = hp // th
+    t_dim, n = raw_windows.shape[:2]
+
+    from ess_tpu.data import native
+    got = native.band_bin_folded(raw_windows, valid, height=height,
+                                 width=width, tile_h=th,
+                                 trilinear=trilinear, capacity=capacity)
+    if got is not None:
+        return got
+
+    n2 = capacity if capacity is not None else n + n // 8 + 8
+
+    out = np.zeros((t_dim, n2, 4), np.float32)
+    out_valid = np.zeros((t_dim, n2), bool)
+    offsets = np.zeros((t_dim, n_bands + 1), np.int32)
+    for i in range(t_dim):
+        w = raw_windows[i]
+        x = w[:, 0].astype(np.float64)
+        y = w[:, 1].astype(np.float64)
+        t = w[:, 2].astype(np.float64)
+        p = np.where(w[:, 3] > 0, 1.0, -1.0)
+        if trilinear:
+            ok = (valid[i] & (x > -1) & (x < width)
+                  & (y > -1) & (y < height))
+        else:
+            ok = (valid[i]
+                  & (np.floor(x) >= 0) & (np.floor(x) < width)
+                  & (np.floor(y) >= 0) & (np.floor(y) < height))
+        x, y, t, p = x[ok], y[ok], t[ok], p[ok]
+        if trilinear:
+            # frame-edge folds -> exact integer edge coordinates
+            m = x < 0
+            p[m] *= 1.0 + x[m]
+            x[m] = 0.0
+            m = x > width - 1
+            p[m] *= width - x[m]
+            x[m] = width - 1
+            m = y < 0
+            p[m] *= 1.0 + y[m]
+            y[m] = 0.0
+            m = y > height - 1
+            p[m] *= height - y[m]
+            y[m] = height - 1
+            # band-boundary split: original clamps to the band's last row,
+            # ghost lands exactly on the next band's first row
+            band = (y // th).astype(np.int64)
+            yl = y - band * th
+            frac = yl - (th - 1)
+            bm = frac > 0
+            gx, gt = x[bm], t[bm]
+            gp = p[bm] * frac[bm]
+            gy = (band[bm] + 1) * float(th)
+            p[bm] *= th - yl[bm]
+            y[bm] = band[bm] * th + (th - 1)
+            x = np.concatenate([x, gx])
+            y = np.concatenate([y, gy])
+            t = np.concatenate([t, gt])
+            p = np.concatenate([p, gp])
+        band = np.clip((y // th).astype(np.int64), 0, n_bands - 1)
+        order = np.argsort(band, kind="stable")
+        m = len(order)
+        assert m <= n2, (m, n2, "raise capacity: pathological event "
+                         "distribution produced more ghosts than margin")
+        out[i, :m, 0] = x[order]
+        out[i, :m, 1] = y[order]
+        out[i, :m, 2] = t[order]
+        out[i, :m, 3] = p[order]
+        out_valid[i, :m] = True
+        offsets[i] = np.searchsorted(
+            band[order], np.arange(n_bands + 1)).astype(np.int32)
+    return out, out_valid, offsets
+
+
+def voxelize_folded(
+    x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
+    offsets: jax.Array, *, bins: int, height: int, width: int,
+    interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nhwc",
+    chunk: int = CHUNK, out_dtype=jnp.float32,
+) -> jax.Array:
+    """(B, N) band-sorted PRE-FOLDED events + (B, n_bands+1) offsets ->
+    voxel grids, with no post-kernel fold pass.
+
+    Inputs must come from :func:`host_band_bin_folded` (or satisfy its
+    contract): ``pol`` pre-weighted signed values, spatial coordinates
+    never crossing a band row block, ``ts`` normalized to [0, bins-1].
+    ``height`` % tile_h == 0 and ``width`` % 128 == 0 (callers pad and
+    crop exactly like the halo path). Layouts as :func:`voxelize_tiled`.
+    """
+    b, n = x.shape
+    th = tile_h_for_bins(bins)
+    assert height % th == 0 and width % TILE_W == 0, (height, width)
+    n_bands = height // th
+    rows = bins * th
+    rows_pad = ((rows + 7) // 8) * 8
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    nb = n_pad // chunk
+
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    ts = ts.astype(jnp.float32)
+    pol = pol.astype(jnp.float32)
+    band = jnp.clip(jnp.floor(y).astype(jnp.int32) // th, 0, n_bands - 1)
+    yl = y - (band * th).astype(jnp.float32)
+    c0 = jnp.floor(ts)
+    wt1 = ts - c0
+    cx = band.astype(jnp.float32) * width + x
+    p0 = c0 * th + yl
+    s0 = pol * (1.0 - wt1)
+    s1 = pol * wt1
+    if oh_dtype == jnp.int8:
+        cx = cx * INT8_SCALE
+        s0 = s0 * INT8_SCALE
+        s1 = s1 * INT8_SCALE
+
+    ev = jnp.stack([
+        jnp.pad(a, ((0, 0), (0, n_pad - n))).reshape(b, nb, chunk)
+        for a in (cx, p0, s0, s1)
+    ], axis=2)
+
+    grid = (b, n_bands)
+    out = pl.pallas_call(
+        functools.partial(_kernel, bins=bins, row_gap=th, rows=rows_pad,
+                          k_tiles=1, col_slot=width, chunk=chunk,
+                          oh_dtype=oh_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, 1, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((N_BUF, 4, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((N_BUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_bands, rows_pad, width), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(offsets, ev)
+
+    core = out[:, :, :rows].reshape(b, n_bands, bins, th, width)
+    if layout == "nchw":
+        return jnp.transpose(core, (0, 2, 1, 3, 4)).reshape(
+            b, bins, height, width)
+    if layout == "nhwc":
+        return jnp.transpose(core, (0, 1, 3, 4, 2)).reshape(
+            b, height, width, bins)
+    blk = {"s2d": 2, "s4d": 4}[layout]
+    assert th % blk == 0 and width % blk == 0, (th, width, layout)
+    core = core.reshape(b, n_bands, bins, th // blk, blk, width // blk, blk)
+    core = jnp.transpose(core, (0, 1, 3, 5, 4, 6, 2))
+    return core.reshape(b, height // blk, width // blk, blk * blk * bins)

@@ -176,8 +176,9 @@ class Reconstructor:
         def get_window(i):
             take = lambda a: jax.lax.dynamic_index_in_dim(
                 a, i, axis=1, keepdims=False)
-            offs = (take(soa["ev_tile_offsets"])
-                    if "ev_tile_offsets" in soa else None)
+            offs_key = ("ev_band_offsets" if "ev_band_offsets" in soa
+                        else "ev_tile_offsets")
+            offs = take(soa[offs_key]) if offs_key in soa else None
             return voxel_fn(take(soa["ev_x"]), take(soa["ev_y"]),
                             take(soa["ev_t"]), take(soa["ev_p"]),
                             take(soa["ev_valid"]), tile_offsets=offs)

@@ -40,8 +40,11 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
     cfg = mods.cfg
     recon = mods.recon_val
     packed = wire == "packed"
-    voxel_fn = pipeline.make_window_fn(AugmentParams(),
-                                       t_prenormalized=packed)
+    voxel_fns = {
+        kind: pipeline.make_window_fn(AugmentParams(), t_prenormalized=packed,
+                                      offsets_kind=kind)
+        for kind in ("tile", "band")
+    }
 
     def _reset_where(is_first, recon_state, b):
         fresh = recon.init_state(b)
@@ -59,7 +62,13 @@ def make_streaming_steps(mods: ESSModules, pipeline: EventPipeline,
             batch_soa = dict(pipeline.decode_packed(batch_soa))
             batch_soa.pop("ev_t_prenormalized", None)
         take = lambda a: a[:, 0] if a.ndim == 3 else a
-        offs = batch_soa.get("ev_tile_offsets")
+        # key PRESENCE (jit-static) picks the kernel mode: pre-folded band
+        # offsets -> fold-free kernel, tile offsets -> halo kernel
+        if "ev_band_offsets" in batch_soa:
+            voxel_fn, offs = voxel_fns["band"], batch_soa["ev_band_offsets"]
+        else:
+            voxel_fn = voxel_fns["tile"]
+            offs = batch_soa.get("ev_tile_offsets")
         return voxel_fn(take(batch_soa["ev_x"]), take(batch_soa["ev_y"]),
                         take(batch_soa["ev_t"]), take(batch_soa["ev_p"]),
                         take(batch_soa["ev_valid"]),

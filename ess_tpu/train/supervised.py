@@ -80,7 +80,9 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
             aug = pipeline.sample_augment(rng, b, train=train)
             voxel_fn = pipeline.make_window_fn(
                 aug, t_prenormalized=bool(
-                    batch.get("ev_t_prenormalized", False)))
+                    batch.get("ev_t_prenormalized", False)),
+                offsets_kind=("band" if "ev_band_offsets" in batch
+                              else "tile"))
             if labels is not None:
                 labels = pipeline.apply_label_transform(labels, aug)
             img, _, latent = recon.rollout_events(

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libess_host.so ess_host.cpp
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -475,4 +476,152 @@ void ingest_rectify_bin_packed(
   }
 }
 
-}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Ghost-folded band binning (the fold-free kernel mode,
+// ess_tpu/ops/voxel_pallas.py voxelize_folded). Boundary-crossing trilinear
+// events are rewritten to exact integer boundary coordinates with the
+// crossing weight folded into a PRE-WEIGHTED polarity; the across-band part
+// becomes a ghost record appended to the next band. Returns the max record
+// count any window needed — when that exceeds cap2 the affected windows are
+// emitted EMPTY and the caller must retry with a larger capacity.
+// ---------------------------------------------------------------------------
+
+static inline int fold_one_f32(float x, float y, float t, float pw,
+                               float fw, float fh, int32_t th,
+                               int32_t n_bands, int trilinear,
+                               float* rec, int32_t* bands) {
+  if (trilinear) {
+    if (x < 0.f) { pw *= 1.f + x; x = 0.f; }
+    else if (x > fw - 1.f) { pw *= fw - x; x = fw - 1.f; }
+    if (y < 0.f) { pw *= 1.f + y; y = 0.f; }
+    else if (y > fh - 1.f) { pw *= fh - y; y = fh - 1.f; }
+  }
+  int32_t band = static_cast<int32_t>(y) / th;
+  if (band > n_bands - 1) band = n_bands - 1;
+  int nrec = 0;
+  if (trilinear) {
+    const float yl = y - static_cast<float>(band * th);
+    const float frac = yl - static_cast<float>(th - 1);
+    if (frac > 0.f && band + 1 < n_bands) {
+      rec[0] = x; rec[1] = static_cast<float>((band + 1) * th);
+      rec[2] = t; rec[3] = pw * frac;
+      bands[0] = band + 1;
+      ++nrec;
+      rec += 4;
+      pw *= static_cast<float>(th) - yl;
+      y = static_cast<float>(band * th + (th - 1));
+    }
+  }
+  rec[0] = x; rec[1] = y; rec[2] = t; rec[3] = pw;
+  bands[nrec] = band;
+  return nrec + 1;
+}
+
+static inline void band_sort_write_f32(
+    const float* rec_scratch, const int32_t* band_scratch, int64_t m,
+    int64_t cap2, int64_t n_bands, float* dst, uint8_t* dvalid,
+    int32_t* offs, int64_t* counts) {
+  if (m > cap2) m = 0;  // overflow: empty window, caller retries bigger
+  std::memset(counts, 0, sizeof(int64_t) * n_bands);
+  for (int64_t i = 0; i < m; ++i) ++counts[band_scratch[i]];
+  int64_t run = 0;
+  for (int64_t b = 0; b < n_bands; ++b) {
+    offs[b] = static_cast<int32_t>(run);
+    const int64_t c = counts[b];
+    counts[b] = run;
+    run += c;
+  }
+  offs[n_bands] = static_cast<int32_t>(run);
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t at = counts[band_scratch[i]]++;
+    std::memcpy(dst + at * 4, rec_scratch + i * 4, sizeof(float) * 4);
+    dvalid[at] = 1;
+  }
+  if (m < cap2) {
+    std::memset(dst + m * 4, 0, sizeof(float) * (cap2 - m) * 4);
+    std::memset(dvalid + m, 0, cap2 - m);
+  }
+}
+
+int64_t band_bin_folded_f32(
+    const float* ev, const uint8_t* valid, int64_t T, int64_t n,
+    int64_t cap2, int64_t height, int64_t width, int64_t tile_h,
+    int64_t n_bands, int trilinear,
+    float* out, uint8_t* out_valid, int32_t* offsets,
+    int64_t* counts, float* rec_scratch, int32_t* band_scratch) {
+  const float fw = static_cast<float>(width);
+  const float fh = static_cast<float>(height);
+  const int32_t th = static_cast<int32_t>(tile_h);
+  int64_t max_needed = 0;
+  for (int64_t wi = 0; wi < T; ++wi) {
+    const float* src = ev + wi * n * 4;
+    const uint8_t* vmask = valid + wi * n;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = src[i * 4 + 0];
+      const float y = src[i * 4 + 1];
+      bool ok;
+      if (trilinear) {
+        ok = vmask[i] && x > -1.f && x < fw && y > -1.f && y < fh;
+      } else {
+        const float xf = std::floor(x);
+        const float yf = std::floor(y);
+        ok = vmask[i] && xf >= 0.f && xf < fw && yf >= 0.f && yf < fh;
+      }
+      if (!ok) continue;
+      const float pw = src[i * 4 + 3] > 0.f ? 1.f : -1.f;
+      m += fold_one_f32(x, y, src[i * 4 + 2], pw, fw, fh, th,
+                        static_cast<int32_t>(n_bands), trilinear,
+                        rec_scratch + m * 4, band_scratch + m);
+    }
+    if (m > max_needed) max_needed = m;
+    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_bands,
+                        out + wi * cap2 * 4, out_valid + wi * cap2,
+                        offsets + wi * (n_bands + 1), counts);
+  }
+  return max_needed;
+}
+
+// Fused DSEC ingest, folded variant: rectify-map lookup + per-window time
+// re-zero + ghost-folded band counting sort, one pass over the raw h5
+// columns (the production loader path for the fold-free kernel).
+int64_t ingest_rectify_bin_folded(
+    const uint16_t* x, const uint16_t* y, const int64_t* t, const uint8_t* p,
+    const int64_t* starts, const int64_t* ends, int64_t T, int64_t cap,
+    int64_t cap2, const float* map, int64_t mh, int64_t mw,
+    int64_t tile_h, int64_t n_bands,
+    float* out, uint8_t* out_valid, int32_t* offsets,
+    int64_t* counts, float* rec_scratch, int32_t* band_scratch) {
+  const float fw = static_cast<float>(mw);
+  const float fh = static_cast<float>(mh);
+  const int32_t th = static_cast<int32_t>(tile_h);
+  int64_t max_needed = 0;
+  for (int64_t wi = 0; wi < T; ++wi) {
+    int64_t s = starts[wi];
+    const int64_t e = ends[wi];
+    if (e - s > cap) s = e - cap;
+    const int64_t n = e > s ? e - s : 0;
+    const int64_t t0 = n > 0 ? t[s] : 0;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t srci = s + i;
+      const float* mp = map + (static_cast<int64_t>(y[srci]) * mw +
+                               static_cast<int64_t>(x[srci])) * 2;
+      const float rx = mp[0];
+      const float ry = mp[1];
+      if (rx <= -1.f || rx >= fw || ry <= -1.f || ry >= fh) continue;
+      const float pw = p[srci] > 0 ? 1.f : -1.f;
+      m += fold_one_f32(rx, ry, static_cast<float>(t[srci] - t0), pw,
+                        fw, fh, th, static_cast<int32_t>(n_bands), 1,
+                        rec_scratch + m * 4, band_scratch + m);
+    }
+    if (m > max_needed) max_needed = m;
+    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_bands,
+                        out + wi * cap2 * 4, out_valid + wi * cap2,
+                        offsets + wi * (n_bands + 1), counts);
+  }
+  return max_needed;
+}
+
+}  // extern "C"\n

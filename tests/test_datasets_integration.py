@@ -112,10 +112,17 @@ def test_dsec_sequence(tmp_path):
     # 10 labels - 6 skipped = 4 remaining, stride 2 -> 2 samples
     assert len(ds) == 2
     s = ds[0]
-    assert s["raw_events"].shape == (4, 1024, 4)
+    # default r4 wire: ghost-folded band bins (capacity-padded records)
+    assert "band_offsets" in s
+    assert s["raw_events"].shape[0] == 4 and s["raw_events"].shape[1] >= 1024
     assert s["label"].shape == (440, 640)
     assert s["valid"].any()
     assert ds.rectify_map.shape == (480, 640, 2)
+    # explicit tile mode keeps the halo-kernel contract
+    tile = DSECEvents(str(tmp_path), mode="train", nr_events_data=4,
+                      nr_events_window=1024, binning="tile")[0]
+    assert tile["raw_events"].shape == (4, 1024, 4)
+    assert "tile_offsets" in tile
 
 
 def test_dsec_recurrent_stream(tmp_path):
@@ -128,7 +135,9 @@ def test_dsec_recurrent_stream(tmp_path):
     assert len(stream) > 0
     first = stream[0]
     assert first["is_first"]
-    assert first["raw_events"].shape == (1, 1024, 4)
+    assert "band_offsets" in first  # folded default wire
+    assert first["raw_events"].shape[0] == 1
+    assert first["raw_events"].shape[1] >= 1024
     labels = [i for i in range(len(stream)) if stream[i]["has_label"]]
     assert labels, "no windows aligned with labels"
     assert stream[labels[0]]["label"].shape == (440, 640)
@@ -152,7 +161,10 @@ def test_dsec_recurrent_stream_rectifies(tmp_path):
         m[..., 1] = np.clip(m[..., 1] + 0.5, 0, 479.0)
         f["rectify_map"][...] = m
 
-    seq = DSECSequence(seq_dir, nr_events_data=1, nr_events_window=1024)
+    # tile mode: this test checks raw rectified coordinates, which the
+    # folded wire intentionally rewrites at edges/band boundaries
+    seq = DSECSequence(seq_dir, nr_events_data=1, nr_events_window=1024,
+                       binning="tile")
     stream = SequenceRecurrent(seq, nr_events_window=1024)
     s = stream[1]
     got = s["raw_events"][0][s["valid"][0]]
@@ -242,13 +254,14 @@ def test_dsec_fixed_duration_fused_matches_legacy(tmp_path):
         pytest.skip("native lib unavailable")
     seq_dir = str(tmp_path / "train" / "zurich_city_00_a")
     make_dsec_seq(seq_dir, n_labels=10)
-    mk = lambda: DSECSequence(seq_dir, nr_events_data=4, nr_events_window=600,
-                              fixed_duration=True, delta_t_per_data=50)
-    seq = mk()
+    mk = lambda **kw: DSECSequence(seq_dir, nr_events_data=4,
+                              nr_events_window=600,
+                              fixed_duration=True, delta_t_per_data=50, **kw)
+    seq = mk(binning="tile")
     fused = seq[0]
     assert "tile_offsets" in fused
 
-    legacy_seq = mk()
+    legacy_seq = mk(binning="tile")
     legacy_seq._fused_ingest_duration = lambda *a, **k: None
     legacy = legacy_seq[0]
     np.testing.assert_array_equal(fused["valid"], legacy["valid"])
@@ -257,3 +270,20 @@ def test_dsec_fixed_duration_fused_matches_legacy(tmp_path):
     np.testing.assert_allclose(fused["raw_events"], legacy["raw_events"],
                                atol=1e-4)
     np.testing.assert_array_equal(fused["label"], legacy["label"])
+
+    # folded wire: fused native ingest == the numpy fallback chain (same
+    # band offsets; same per-band record multisets — within-band order is
+    # free between the two implementations)
+    f_seq = mk()
+    f_fused = f_seq[0]
+    assert "band_offsets" in f_fused
+    np_seq = mk()
+    np_seq._fused_ingest_duration = lambda *a, **k: None
+    f_np = np_seq[0]
+    np.testing.assert_array_equal(f_fused["band_offsets"],
+                                  f_np["band_offsets"])
+    order = lambda a: a[np.lexsort((a[:, 3], a[:, 2], a[:, 1], a[:, 0]))]
+    for w in range(4):
+        a = f_fused["raw_events"][w][f_fused["valid"][w]]
+        b = f_np["raw_events"][w][f_np["valid"][w]]
+        np.testing.assert_allclose(order(a), order(b), atol=1e-4)

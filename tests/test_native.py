@@ -226,3 +226,50 @@ def test_packed_ingest_voxel_parity(rng):
     diff = np.abs(np.asarray(g_pk) - np.asarray(g_f32))
     assert diff.max() <= 1.01, diff.max()
     assert np.mean(diff) < 5e-3
+
+
+def test_native_band_bin_folded_matches_numpy():
+    """Native ghost-folded band binning == the numpy fallback, judged by
+    the voxel grids they produce (within-band record order is free)."""
+    import jax.numpy as jnp
+    import ess_tpu.data.native as native
+    from ess_tpu.ops import voxel_pallas as vp
+    from ess_tpu.ops.batch_voxel import voxelize_window_soa
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    t_dim, n, h, w = 2, 600, 24, 256
+    raw = np.zeros((t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(-0.9, w - 0.05, (t_dim, n))  # incl. edge zone
+    raw[..., 1] = rng.uniform(-0.9, h - 0.05, (t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (t_dim, n))
+    valid = np.ones((t_dim, n), bool)
+    valid[:, 550:] = False
+
+    got_nat = native.band_bin_folded(
+        raw, valid, height=h, width=w, tile_h=vp.tile_h_for_bins(5))
+    assert got_nat is not None
+    # force the numpy fallback through the public entry point
+    orig = native.band_bin_folded
+    native.band_bin_folded = lambda *a, **k: None
+    try:
+        got_np = vp.host_band_bin_folded(raw, valid, height=h, width=w,
+                                         bins=5)
+    finally:
+        native.band_bin_folded = orig
+
+    def grid(res):
+        r, v, o = res
+        return voxelize_window_soa(
+            jnp.asarray(r[..., 0]), jnp.asarray(r[..., 1]),
+            jnp.asarray(r[..., 2]), jnp.asarray(r[..., 3]), jnp.asarray(v),
+            num_bins=5, height=h, width=w, trilinear=True, use_pallas=True,
+            pallas_interpret=True, oh_dtype=jnp.float32,
+            tile_offsets=jnp.asarray(o), offsets_kind="band")
+
+    np.testing.assert_array_equal(got_nat[2], got_np[2])  # identical offsets
+    np.testing.assert_allclose(np.asarray(grid(got_nat)),
+                               np.asarray(grid(got_np)),
+                               atol=1e-4, rtol=1e-5)

@@ -248,3 +248,47 @@ def test_streaming_eval_under_dp_mesh(rng):
     _, cm_8 = score_step(state_r, rs, shard_batch(batches[2], mesh))
 
     np.testing.assert_allclose(np.asarray(cm_1), np.asarray(cm_8), atol=0)
+
+
+def test_streaming_exposure_aligned_labels(tmp_path):
+    """align_labels=True (VERDICT r3 #5): the window grid cuts at each
+    label's event index so scored windows end exactly at the exposure time
+    (no future events leak into the scored prediction), the stream still
+    tiles the sequence gap-free, and free-running mode is unchanged."""
+    pytest.importorskip("h5py")
+    pytest.importorskip("cv2")
+    from tests.test_datasets_integration import make_dsec_seq
+
+    seq_dir = str(tmp_path / "seq_aligned")
+    make_dsec_seq(seq_dir, n_events=8000)
+    from ess_tpu.data.dsec import DSECSequence, SequenceRecurrent
+
+    seq = DSECSequence(seq_dir, mode="val", nr_events_data=1,
+                       nr_events_window=1024, tile_bin=False)
+    free = SequenceRecurrent(seq, nr_events_window=1024)
+    aligned = SequenceRecurrent(seq, nr_events_window=1024,
+                                align_labels=True)
+
+    # the aligned plan tiles the stream without gaps or oversize windows
+    b = aligned.bounds
+    assert b[0] == 0
+    sizes = np.diff(b)
+    assert np.all(sizes > 0) and np.all(sizes <= 1024)
+    # every label that the free-running grid scores is scored here too,
+    # and its window ends EXACTLY at the label's event index
+    assert len(aligned.label_idx) >= len(free.label_idx) > 0
+    for wi, li in aligned.label_idx.items():
+        lbl_idx = seq.slicer.index_of_time(int(seq.timestamps[li]))
+        assert b[wi + 1] == lbl_idx, (wi, li, b[wi + 1], lbl_idx)
+
+    # labeled samples load with the (shorter) window's true event count
+    wi = min(aligned.label_idx)
+    sample = aligned[wi]
+    assert bool(sample["has_label"])
+    assert sample["valid"].sum() == b[wi + 1] - b[wi]
+    assert sample["raw_events"].shape[1] == 1024  # capacity-padded
+
+    # free-running mode unchanged: full windows, label in containing window
+    assert len(free) == 8000 // 1024
+    s0 = free[0]
+    assert s0["valid"].sum() == 1024

@@ -268,3 +268,251 @@ def test_fold_s2d_mxu_matches_reference_fold(rng):
                              height=height, width=width)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_int8_tent_planes(rng):
+    """oh_dtype=int8 (the double-rate MXU path): corner weights quantize to
+    1/127 steps with exact int32 accumulation — per-deposit error bounded
+    by (w_r + w_c)/254, so cells track the scatter reference closely."""
+    args = list(make_soa(rng))
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got8 = voxelize_window_soa(*args, use_pallas=True, pallas_interpret=True,
+                               oh_dtype=jnp.int8, **kw)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref),
+                               atol=0.04, rtol=0.05)
+    # error must be strictly bounded per cell by the corner-count * 1/127
+    err = np.abs(np.asarray(got8) - np.asarray(ref)).max()
+    assert err < 0.04, err
+
+    # temporal-bilinear (integer coords) path too
+    args_i = list(make_soa(rng, float_coords=False))
+    kw_t = dict(num_bins=5, height=24, width=256)
+    ref_t = voxelize_window_soa(*args_i, use_pallas=False, **kw_t)
+    got8_t = voxelize_window_soa(*args_i, use_pallas=True,
+                                 pallas_interpret=True, oh_dtype=jnp.int8,
+                                 **kw_t)
+    np.testing.assert_allclose(np.asarray(got8_t), np.asarray(ref_t),
+                               atol=0.04, rtol=0.05)
+
+
+def test_pipeline_int8_voxel_dtype(rng):
+    """PipelineConfig.voxel_oh_dtype='int8' routes through build_all."""
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+
+    h, w, n, t_dim = 24, 256, 600, 2
+    pipe8 = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="int8"))
+    pipe32 = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    x = rng.uniform(0, w - 1, (1, t_dim, n)).astype(np.float32)
+    y = rng.uniform(0, h - 1, (1, t_dim, n)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e4, (1, t_dim, n)), axis=-1).astype(np.float32)
+    p = rng.integers(0, 2, (1, t_dim, n)).astype(np.float32)
+    batch = {"ev_x": jnp.asarray(x), "ev_y": jnp.asarray(y),
+             "ev_t": jnp.asarray(t), "ev_p": jnp.asarray(p),
+             "ev_valid": jnp.ones((1, t_dim, n), bool)}
+    g8, _ = pipe8.build_all(batch)
+    g32, _ = pipe32.build_all(batch)
+    assert g8.shape == g32.shape
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g32),
+                               atol=0.04, rtol=0.05)
+
+
+def _folded_args(rng, b=2, n=700, h=24, w=256, float_coords=True,
+                 pad_from=600, bins=5):
+    """Raw SoA events + the host ghost-folded band binning of the same."""
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    args = list(make_soa(rng, b=b, n=n, h=h, w=w, float_coords=float_coords,
+                         pad_from=pad_from))
+    x, y, t, p, valid = [np.asarray(a) for a in args]
+    raw = np.stack([x, y, t, p], axis=-1)
+    fr, fv, fo = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(
+            raw[i][None], valid[i][None], height=h, width=w, bins=bins,
+            trilinear=float_coords)
+        fr.append(r2[0]); fv.append(v2[0]); fo.append(o2[0])
+    fr, fv, fo = np.stack(fr), np.stack(fv), np.stack(fo)
+    folded = [jnp.asarray(fr[..., 0]), jnp.asarray(fr[..., 1]),
+              jnp.asarray(fr[..., 2]), jnp.asarray(fr[..., 3]),
+              jnp.asarray(fv)]
+    return args, folded, jnp.asarray(fo)
+
+
+def test_pallas_folded_trilinear_parity(rng):
+    """Pre-folded mode (ghost events, gap-free rows, global columns) must
+    reproduce the scatter reference exactly — including frame-edge events
+    whose folds move to the host."""
+    args, folded, offs = _folded_args(rng)
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+    # bf16 + int8 operand modes hold their documented bounds
+    got16 = voxelize_window_soa(*folded, use_pallas=True,
+                                pallas_interpret=True, tile_offsets=offs,
+                                offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref),
+                               atol=0.02, rtol=0.03)
+    got8 = voxelize_window_soa(*folded, use_pallas=True,
+                               pallas_interpret=True, oh_dtype=jnp.int8,
+                               tile_offsets=offs, offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_pallas_folded_unaligned_sensor(rng):
+    """Padded (DDD17-like) sensor geometry through the folded kernel."""
+    args, folded, offs = _folded_args(rng, h=26, w=170)
+    kw = dict(num_bins=5, height=26, width=170, trilinear=True)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", **kw)
+    assert got.shape == (2, 26, 170, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_pallas_folded_temporal(rng):
+    """Integer-coordinate temporal-bilinear streams: no ghosts, band sort
+    + pre-signed polarity only."""
+    args, folded, offs = _folded_args(rng, float_coords=False)
+    kw = dict(num_bins=5, height=24, width=256)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+    # separate-polarity channels ride the |pre-weighted| magnitude; the
+    # host binning must use the EFFECTIVE bin count (2*num_bins here, which
+    # changes the band height — same contract as host_tile_bin)
+    args_sp, folded_sp, offs_sp = _folded_args(rng, float_coords=False,
+                                               bins=10)
+    kw_sp = dict(kw, separate_pol=True)
+    ref_sp = voxelize_window_soa(*args_sp, use_pallas=False, **kw_sp)
+    got_sp = voxelize_window_soa(*folded_sp, use_pallas=True,
+                                 pallas_interpret=True,
+                                 oh_dtype=jnp.float32, tile_offsets=offs_sp,
+                                 offsets_kind="band", **kw_sp)
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(ref_sp),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_pallas_folded_s2d_layout(rng):
+    """Folded-mode s2d emission == s2d of the folded-mode NHWC grid."""
+    from ess_tpu.ops.conv_s2d import space_to_depth
+
+    args, folded, offs = _folded_args(rng)
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    nhwc = voxelize_window_soa(*folded, use_pallas=True,
+                               pallas_interpret=True,
+                               oh_dtype=jnp.float32, tile_offsets=offs,
+                               offsets_kind="band", **kw)
+    s2d = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", layout="s2d", **kw)
+    np.testing.assert_allclose(np.asarray(s2d),
+                               np.asarray(space_to_depth(nhwc)),
+                               atol=1e-6)
+
+
+def test_pipeline_build_all_folded_band(rng):
+    """build_all with a band-offset (pre-folded) batch matches the
+    tile-offset halo path — same grids through the fold-free kernel,
+    including the s2d time-major production form."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded, host_tile_bin
+
+    b, t_dim, n, h, w = 2, 3, 500, 24, 256
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    label = rng.integers(0, 5, (b, h - 8, w)).astype(np.int32)
+
+    def pack(fn, key):
+        rs, vs, os_ = [], [], []
+        for i in range(b):
+            r2, v2, o2 = fn(raw[i], valid[i])
+            rs.append(r2); vs.append(v2); os_.append(o2)
+        rs, vs, os_ = np.stack(rs), np.stack(vs), np.stack(os_)
+        return {
+            "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+            "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+            "ev_valid": jnp.asarray(vs), key: jnp.asarray(os_),
+            "label": jnp.asarray(label),
+        }
+
+    tile_batch = pack(
+        lambda r, v: host_tile_bin(r, v, height=h, width=w, bins=5),
+        "ev_tile_offsets")
+    band_batch = pack(
+        lambda r, v: host_band_bin_folded(r, v, height=h, width=w, bins=5),
+        "ev_band_offsets")
+
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=8, random_flip=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    key = jax.random.PRNGKey(3)
+    ref, lbl_ref = pipe.build_all(tile_batch, key, train=True, layout="s2d",
+                                  out_dtype=jnp.float32, time_major=True)
+    got, lbl_got = pipe.build_all(band_batch, key, train=True, layout="s2d",
+                                  out_dtype=jnp.float32, time_major=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(lbl_got), np.asarray(lbl_ref))
+
+
+def test_supervised_step_folded_batch(rng):
+    """The supervised train step runs end-to-end on a pre-folded SoA batch
+    (band offsets select the fold-free kernel inside the jitted step)."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+    from tests.test_train_steps import tiny_config
+
+    h = w = 16
+    cfg = tiny_config()
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, use_pallas=True, pallas_interpret=True))
+
+    b, t_dim, n = 2, 2, 256
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(
+            raw[i], np.ones((t_dim, n), bool), height=h, width=w, bins=5)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs, os_ = np.stack(rs), np.stack(vs), np.stack(os_)
+    batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs), "ev_band_offsets": jnp.asarray(os_),
+        "label": jnp.asarray(rng.integers(0, 6, (b, h, w)), jnp.int32),
+    }
+    step = sup.make_train_step(mods, pipe)
+    state, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))

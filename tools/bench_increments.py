@@ -4,9 +4,11 @@ Measures bench.py's exact step across a ladder of config increments so one
 tunnel session yields the full round-3 anatomy (BASELINE.md table):
 
   0. xla-cells       lstm_impl='xla', quad off, block head off
-  1. int8-cells      fused Pallas int8 train cells — bench.py's DEFAULT
-  2. +block-head     blocked SegmentationHead (s2d/s4d stages, folded losses)
-  3. +quad           quad-block s4d rollout
+  1. int8-cells      fused Pallas int8 train cells — the r3 default
+  2. +folded-voxel   ghost-folded band binning -> fold-free kernel mode
+  3. +voxel-int8     double-rate int8 MXU tent planes (round 4)
+  4. +block-head     blocked SegmentationHead (s2d/s4d stages, folded losses)
+  5. +quad           quad-block s4d rollout
 
 Round-3 v5e results: 546.8 / 639.3 / 580.2 / 476.4 windows/s — the blocked
 head (-59) and quad rollout (-104) are full-step REGRESSIONS despite winning
@@ -29,11 +31,16 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402  (shares config/batch with the driver metric)
 
+# (name, model tweaks, pipeline overrides, folded batch?)
 LADDER = [
-    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}),
-    ("int8-cells (default)", {}),
-    ("+block-head", {"block_head_train": True}),
-    ("+quad", {"block_head_train": True, "quad_block_train": True}),
+    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, {}, False),
+    ("int8-cells (r3 default)", {}, {}, False),
+    ("+folded-voxel", {}, {}, True),
+    ("+voxel-int8", {}, {"voxel_oh_dtype": "int8"}, True),
+    ("+block-head", {"block_head_train": True}, {"voxel_oh_dtype": "int8"},
+     True),
+    ("+quad", {"block_head_train": True, "quad_block_train": True},
+     {"voxel_oh_dtype": "int8"}, True),
 ]
 
 
@@ -50,13 +57,20 @@ def main():
     from ess_tpu.train.builder import build_modules, init_state
 
     base = bench.make_cfg()
-    pipeline = bench.make_pipeline()
-    batch = bench.make_batch()
+    pipelines = {}
+    batches = {}
 
     prev = None
-    for i, (name, tweak) in enumerate(LADDER):
+    for i, (name, tweak, pipe_kw, folded) in enumerate(LADDER):
         if args.only is not None and i not in args.only:
             continue
+        pk = tuple(sorted(pipe_kw.items()))
+        if pk not in pipelines:
+            pipelines[pk] = bench.make_pipeline(**pipe_kw)
+        pipeline = pipelines[pk]
+        if folded not in batches:
+            batches[folded] = bench.make_batch(folded=folded)
+        batch = batches[folded]
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, **tweak))
         try:

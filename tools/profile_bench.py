@@ -53,11 +53,57 @@ def parse_xplane(trace_dir: str, top: int = 45, steps: int = 3) -> None:
                   f"{count[key]:5d}  {key[:110]}")
 
 
+def ddd17_step():
+    """The bench_extra DDD17 supervised step + batch (VERDICT r4 #4: the
+    DDD17 shape needs its own attribution — 200x352, 6 classes, temporal-
+    bilinear integer coords, resize-to-352 pipeline)."""
+    import jax
+
+    import bench_extra
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+    import numpy as np
+
+    b, t, n = 16, 20, 32_000
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(200, 346)),
+            sensor_b=EventDatasetConfig(
+                name="DDD17_events", shape=(200, 346), nr_events_data=t,
+                nr_temporal_bins=5, nr_events_window=n)),
+        model=ModelConfig(model_name="ess_supervised",
+                          compute_dtype="bfloat16",
+                          lstm_impl_train="pallas_int8"),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(batch_size_b=b))
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=260, sensor_width=346, num_bins=5, normalize=True,
+        crop_bottom=60, resize_to=(200, 352)))
+    rng = np.random.default_rng(0)
+    batch = bench_extra.make_event_batch(
+        rng, b, t, n, 260, 346, (mods.recon_train.height,
+                                 mods.recon_train.width), 6, int_coords=True)
+    step = sup.make_train_step(mods, pipe)
+    return step, state, batch
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ess_profile"
+    argv = [a for a in sys.argv[1:]]
+    config = "dsec"
+    if "--config" in argv:
+        i = argv.index("--config")
+        config = argv[i + 1]
+        del argv[i:i + 2]
+    trace_dir = argv[0] if argv else "/tmp/ess_profile"
 
     import jax
     import numpy as np
@@ -68,6 +114,19 @@ def main() -> None:
     from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
     from ess_tpu.train import supervised as sup
     from ess_tpu.train.builder import build_modules, init_state
+
+    if config == "ddd17":
+        step, state, batch = ddd17_step()
+        state, out = step(state, batch)
+        float(out["loss"])  # warmup/compile
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            state, out = step(state, batch)
+            float(out["loss"])
+        jax.profiler.stop_trace()
+        print("trace written to", trace_dir)
+        parse_xplane(trace_dir)
+        return
 
     cfg = bench.make_cfg()
     mods = build_modules(cfg)
