@@ -90,6 +90,7 @@ def _voxelize_pallas(
     tile_offsets=None, interpret: bool = False, layout: str = "nhwc",
     oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
     t_prenormalized: bool = False, offsets_kind: str = "tile",
+    with_stats: bool = False,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -144,12 +145,18 @@ def _voxelize_pallas(
             x.astype(jnp.float32), y.astype(jnp.float32), ts,
             jnp.where(ok, pol, 0.0), tile_offsets,
             bins=bins_eff, height=hp, width=wp, interpret=interpret,
-            layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype)
+            layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
+            with_stats=with_stats)
+        stats = None
+        if with_stats:
+            grid, stats = grid
         if layout == "s4d":
-            return grid[:, : height // 4, : width // 4, :]
-        if layout == "s2d":
-            return grid[:, : height // 2, : width // 2, :]
-        return grid[:, :height, :width, :]
+            grid = grid[:, : height // 4, : width // 4, :]
+        elif layout == "s2d":
+            grid = grid[:, : height // 2, : width // 2, :]
+        else:
+            grid = grid[:, :height, :width, :]
+        return (grid, stats) if with_stats else grid
     if tile_offsets is None:
         xs, ys, tss, ps, offsets = jax.vmap(
             lambda a, b_, c, d, v: bin_events_device(
@@ -224,13 +231,33 @@ def voxelize_window_soa(
         assert rectify_map is None or tile_offsets is None, (
             "host tile offsets were computed on pre-rectification "
             "coordinates; rectify on the host before binning instead")
+        kernel_stats = normalize and offsets_kind == "band"
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
             tile_offsets=tile_offsets, interpret=pallas_interpret,
             layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
             t_prenormalized=t_prenormalized,
-            offsets_kind=offsets_kind)  # NHWC or s2d blocks
+            offsets_kind=offsets_kind,
+            with_stats=kernel_stats)  # NHWC or s2d blocks
+        if kernel_stats:
+            # normalize from the kernel-epilogue partials: no separate
+            # stats pass over the grid (the fold-free accumulators are
+            # final). Same math as _normalize_flat.
+            grid, stats = grid
+            num = stats[:, 2]
+            num_f = jnp.maximum(num, 1.0)
+            mean = stats[:, 0] / num_f
+            var = stats[:, 1] / num_f - mean * mean
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            std = jnp.where(std > 0, std, 1.0)
+            bshape = (-1,) + (1,) * (grid.ndim - 1)
+            shift = mean.astype(grid.dtype).reshape(bshape)
+            scale = (1.0 / std).astype(grid.dtype).reshape(bshape)
+            nz = grid != 0
+            out = jnp.where(nz, (grid - shift) * scale,
+                            jnp.zeros_like(grid))
+            return jnp.where((num > 0).reshape(bshape), out, grid)
         if normalize:
             flat = grid.reshape(grid.shape[0], 1, -1)
             grid = _normalize_flat(flat).reshape(grid.shape)

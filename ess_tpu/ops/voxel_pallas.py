@@ -159,9 +159,10 @@ N_BUF = 4         # DMA buffer depth (prefetch distance N_BUF - 1 hides the
 INT8_SCALE = 127.0   # per-plane quantization scale of the int8 MXU path
 
 
-def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
+def _kernel(offs_ref, ev_ref, *refs,
             bins: int, row_gap: int, rows: int, k_tiles: int,
-            col_slot: int, chunk: int, oh_dtype):
+            col_slot: int, chunk: int, oh_dtype,
+            stats_rows: int = 0):
     """Shared tent-plane MXU accumulator for both kernel modes.
 
     Halo mode (voxelize_tiled): row_gap = tile_h + 1 (each bin's block
@@ -171,8 +172,17 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
     Pre-folded mode (voxelize_folded): row_gap = tile_h (gap-free rows —
     the host rewrote boundary events so nothing ever crosses a row block),
     col_slot = padded sensor width, k_tiles = 1 (one program per row band,
-    columns ARE global x) — the accumulator IS the output grid.
+    columns ARE global x) — the accumulator IS the output grid. With
+    ``stats_rows`` > 0 a second output receives this program's exact
+    normalization partials (sum, sum of squares, nonzero count over the
+    first stats_rows rows AS THE CONSUMER SEES THEM, i.e. after the
+    out-dtype cast) — the accumulator is final in this mode, so the
+    post-kernel stats pass over the whole grid disappears.
     """
+    if stats_rows:
+        out_ref, stats_ref, buf, sems = refs
+    else:
+        out_ref, buf, sems = refs
     b = pl.program_id(0)
     sup = pl.program_id(1)
     tid0 = sup * k_tiles
@@ -260,7 +270,16 @@ def _kernel(offs_ref, ev_ref, out_ref, buf, sems, *,
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, nblocks, chunk_body, acc0)
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+    g = acc.astype(out_ref.dtype)
+    out_ref[0, 0] = g
+    if stats_rows:
+        gv = g[:stats_rows].astype(jnp.float32)
+        s_sum = jnp.sum(gv)
+        s_sq = jnp.sum(gv * gv)
+        s_nz = jnp.sum((gv != 0).astype(jnp.float32))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        stats_ref[0, 0] = (s_sum * (lane == 0) + s_sq * (lane == 1)
+                           + s_nz * (lane == 2)).astype(jnp.float32)
 
 
 def voxelize_tiled(
@@ -741,8 +760,8 @@ def voxelize_folded(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
     interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nhwc",
-    chunk: int = CHUNK, out_dtype=jnp.float32,
-) -> jax.Array:
+    chunk: int = CHUNK, out_dtype=jnp.float32, with_stats: bool = False,
+):
     """(B, N) band-sorted PRE-FOLDED events + (B, n_bands+1) offsets ->
     voxel grids, with no post-kernel fold pass.
 
@@ -751,6 +770,11 @@ def voxelize_folded(
     never crossing a band row block, ``ts`` normalized to [0, bins-1].
     ``height`` % tile_h == 0 and ``width`` % 128 == 0 (callers pad and
     crop exactly like the halo path). Layouts as :func:`voxelize_tiled`.
+
+    ``with_stats=True`` additionally returns (B, 3) f32 per-window
+    normalization stats (sum, sum of squares, nonzero count) accumulated
+    exactly in the kernel epilogue — valid because this mode's
+    accumulators ARE the final grid (no later halo additions).
     """
     b, n = x.shape
     th = tile_h_for_bins(bins)
@@ -784,37 +808,53 @@ def voxelize_folded(
     ], axis=2)
 
     grid = (b, n_bands)
+    out_specs = pl.BlockSpec(
+        (1, 1, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
+    out_shapes = jax.ShapeDtypeStruct((b, n_bands, rows_pad, width), out_dtype)
+    if with_stats:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, 1, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
+        out_shapes = [out_shapes, jax.ShapeDtypeStruct(
+            (b, n_bands, 8, 128), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_kernel, bins=bins, row_gap=th, rows=rows_pad,
                           k_tiles=1, col_slot=width, chunk=chunk,
-                          oh_dtype=oh_dtype),
+                          oh_dtype=oh_dtype,
+                          stats_rows=rows if with_stats else 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=pl.BlockSpec(
-                (1, 1, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((N_BUF, 4, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((N_BUF,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, n_bands, rows_pad, width), out_dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(offsets, ev)
+    stats = None
+    if with_stats:
+        out, raw_stats = out
+        # per-(window, band) partials -> (B, 3) per-window totals
+        stats = jnp.sum(raw_stats[:, :, 0, :3], axis=1)
 
     core = out[:, :, :rows].reshape(b, n_bands, bins, th, width)
     if layout == "nchw":
-        return jnp.transpose(core, (0, 2, 1, 3, 4)).reshape(
+        grid_out = jnp.transpose(core, (0, 2, 1, 3, 4)).reshape(
             b, bins, height, width)
-    if layout == "nhwc":
-        return jnp.transpose(core, (0, 1, 3, 4, 2)).reshape(
+    elif layout == "nhwc":
+        grid_out = jnp.transpose(core, (0, 1, 3, 4, 2)).reshape(
             b, height, width, bins)
-    blk = {"s2d": 2, "s4d": 4}[layout]
-    assert th % blk == 0 and width % blk == 0, (th, width, layout)
-    core = core.reshape(b, n_bands, bins, th // blk, blk, width // blk, blk)
-    core = jnp.transpose(core, (0, 1, 3, 5, 4, 6, 2))
-    return core.reshape(b, height // blk, width // blk, blk * blk * bins)
+    else:
+        blk = {"s2d": 2, "s4d": 4}[layout]
+        assert th % blk == 0 and width % blk == 0, (th, width, layout)
+        core = core.reshape(b, n_bands, bins, th // blk, blk,
+                            width // blk, blk)
+        core = jnp.transpose(core, (0, 1, 3, 5, 4, 6, 2))
+        grid_out = core.reshape(b, height // blk, width // blk,
+                                blk * blk * bins)
+    return (grid_out, stats) if with_stats else grid_out
