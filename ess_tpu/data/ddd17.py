@@ -64,6 +64,8 @@ class DDD17Events:
         require_paired_data: bool = False,
         tile_bin: bool = True,
         tile_bins: int = 5,
+        binning: str = "folded",   # 'folded' (band bins, fold-free kernel;
+                                   # no ghosts for integer coords) | 'tile'
     ):
         data_dirs = sorted(glob.glob(os.path.join(root, "dir*")))
         assert len(data_dirs) > 0, f"no DDD17 'dir*' folders under {root}"
@@ -75,6 +77,7 @@ class DDD17Events:
         self.require_paired_data = require_paired_data
         self.tile_bin = tile_bin
         self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
+        self.binning = binning
 
         t_interval = nr_events_data * delta_t_per_data if fixed_duration else 50
         self.dirs = get_split_dirs(data_dirs, split)
@@ -142,11 +145,21 @@ class DDD17Events:
             "label": label.astype(np.uint8),
         }
         if self.tile_bin:
-            from ess_tpu.ops.voxel_pallas import host_tile_bin
-            raw, valid, offsets = host_tile_bin(
-                raw, valid, height=SENSOR_SHAPE[0], width=SENSOR_SHAPE[1],
-                bins=self.tile_bins)
-            out.update(raw_events=raw, valid=valid, tile_offsets=offsets)
+            if self.binning == "folded":
+                from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+                raw, valid, offsets = host_band_bin_folded(
+                    raw, valid, height=SENSOR_SHAPE[0],
+                    width=SENSOR_SHAPE[1], bins=self.tile_bins,
+                    trilinear=False)
+                out.update(raw_events=raw, valid=valid,
+                           band_offsets=offsets)
+            else:
+                from ess_tpu.ops.voxel_pallas import host_tile_bin
+                raw, valid, offsets = host_tile_bin(
+                    raw, valid, height=SENSOR_SHAPE[0],
+                    width=SENSOR_SHAPE[1], bins=self.tile_bins)
+                out.update(raw_events=raw, valid=valid,
+                           tile_offsets=offsets)
         if self.split == "valid" and self.require_paired_data:
             img = self._paired_frame(mask_file)
             if img is not None:

@@ -198,14 +198,21 @@ class EventPipeline:
     def s2d_capable(self, *, train: bool) -> bool:
         """True when the batched build can emit space-to-depth blocks
         directly (Pallas voxelizer + transforms expressible in block space:
-        even-row bottom crop and horizontal flip; no resize / random crop).
+        even-row bottom crop and horizontal flip; no random crop). A
+        width-only resize (DDD17's 346->352) is allowed: pre-folded
+        band-offset batches fold it into the voxelizer as a minor-axis
+        matmul (tile-offset batches with a resize still take the standard
+        path — callers must also check the batch's offsets kind).
         """
         cfg = self.cfg
         use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                       else _use_pallas_default())
+        resize_ok = cfg.resize_to is None or (
+            cfg.resize_to[0] == cfg.post_crop_size[0]
+            and cfg.resize_to[1] % 2 == 0)
         return (use_pallas
                 and cfg.representation == "voxel_grid"
-                and cfg.resize_to is None
+                and resize_ok
                 and (cfg.random_crop is None or not train)
                 and cfg.crop_bottom % 2 == 0
                 and cfg.sensor_height % 2 == 0
@@ -219,7 +226,8 @@ class EventPipeline:
         return (self.s2d_capable(train=train)
                 and cfg.crop_bottom % 4 == 0
                 and cfg.sensor_height % 4 == 0
-                and cfg.sensor_width % 4 == 0)
+                and cfg.sensor_width % 4 == 0
+                and (cfg.resize_to is None or cfg.resize_to[1] % 4 == 0))
 
     def _transform_s2d(self, grids: jax.Array, aug: AugmentParams,
                        block: int = 2) -> jax.Array:
@@ -357,6 +365,12 @@ class EventPipeline:
             assert self.s4d_capable(train=train), "s4d layout unavailable"
         elif layout == "s2d":
             assert self.s2d_capable(train=train), "s2d layout unavailable"
+        resize_width_to = None
+        if layout in ("s2d", "s4d") and cfg.resize_to is not None:
+            # width-only resize folds into the voxelizer (band mode only)
+            assert offsets_kind == "band", (
+                "s2d build with a resize needs pre-folded band offsets")
+            resize_width_to = cfg.resize_to[1]
         grids = voxelize_window_soa(
             flat(batch["ev_x"]), flat(batch["ev_y"]), flat(batch["ev_t"]),
             flat(batch["ev_p"]), flat(batch["ev_valid"]),
@@ -376,6 +390,8 @@ class EventPipeline:
             out_dtype=out_dtype if layout in ("s2d", "s4d") else jnp.float32,
             t_prenormalized=t_prenorm,
             offsets_kind=offsets_kind,
+            resize_width_to=resize_width_to,
+            resize_align_corners=cfg.resize_align_corners,
         )
         aug = self.sample_augment(rng, b, train=train)
         if time_major:

@@ -90,7 +90,8 @@ def _voxelize_pallas(
     tile_offsets=None, interpret: bool = False, layout: str = "nhwc",
     oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
     t_prenormalized: bool = False, offsets_kind: str = "tile",
-    with_stats: bool = False,
+    normalize: bool = False, resize_width_to=None,
+    resize_align_corners: bool = True,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -141,22 +142,26 @@ def _voxelize_pallas(
     wp = ((width + 127) // 128) * 128
 
     if offsets_kind == "band":
+        from ess_tpu.ops.voxel_pallas import _resize_w_matrix
+
+        out_w = width
+        resize_w = None
+        if resize_width_to is not None and resize_width_to != width:
+            out_w = resize_width_to
+            out_pad = ((out_w + 7) // 8) * 8
+            resize_w = jnp.asarray(_resize_w_matrix(
+                width, out_w, wp, out_pad, resize_align_corners))
         grid = voxelize_folded(
             x.astype(jnp.float32), y.astype(jnp.float32), ts,
             jnp.where(ok, pol, 0.0), tile_offsets,
             bins=bins_eff, height=hp, width=wp, interpret=interpret,
             layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
-            with_stats=with_stats)
-        stats = None
-        if with_stats:
-            grid, stats = grid
+            normalize=normalize, resize_w=resize_w)
         if layout == "s4d":
-            grid = grid[:, : height // 4, : width // 4, :]
-        elif layout == "s2d":
-            grid = grid[:, : height // 2, : width // 2, :]
-        else:
-            grid = grid[:, :height, :width, :]
-        return (grid, stats) if with_stats else grid
+            return grid[:, : height // 4, : out_w // 4, :]
+        if layout == "s2d":
+            return grid[:, : height // 2, : out_w // 2, :]
+        return grid[:, :height, :out_w, :]
     if tile_offsets is None:
         xs, ys, tss, ps, offsets = jax.vmap(
             lambda a, b_, c, d, v: bin_events_device(
@@ -202,6 +207,8 @@ def voxelize_window_soa(
     out_dtype=jnp.float32,
     t_prenormalized: bool = False,
     offsets_kind: str = "tile",
+    resize_width_to=None,
+    resize_align_corners: bool = True,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -231,7 +238,7 @@ def voxelize_window_soa(
         assert rectify_map is None or tile_offsets is None, (
             "host tile offsets were computed on pre-rectification "
             "coordinates; rectify on the host before binning instead")
-        kernel_stats = normalize and offsets_kind == "band"
+        band = offsets_kind == "band"
         grid = _voxelize_pallas(
             x, y, t, p, valid, num_bins=num_bins, height=height, width=width,
             separate_pol=separate_pol, trilinear=trilinear,
@@ -239,29 +246,22 @@ def voxelize_window_soa(
             layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
             t_prenormalized=t_prenormalized,
             offsets_kind=offsets_kind,
-            with_stats=kernel_stats)  # NHWC or s2d blocks
-        if kernel_stats:
-            # normalize from the kernel-epilogue partials: no separate
-            # stats pass over the grid (the fold-free accumulators are
-            # final). Same math as _normalize_flat.
-            grid, stats = grid
-            num = stats[:, 2]
-            num_f = jnp.maximum(num, 1.0)
-            mean = stats[:, 0] / num_f
-            var = stats[:, 1] / num_f - mean * mean
-            std = jnp.sqrt(jnp.maximum(var, 0.0))
-            std = jnp.where(std > 0, std, 1.0)
-            bshape = (-1,) + (1,) * (grid.ndim - 1)
-            shift = mean.astype(grid.dtype).reshape(bshape)
-            scale = (1.0 / std).astype(grid.dtype).reshape(bshape)
-            nz = grid != 0
-            out = jnp.where(nz, (grid - shift) * scale,
-                            jnp.zeros_like(grid))
-            return jnp.where((num > 0).reshape(bshape), out, grid)
-        if normalize:
+            # band mode: normalization comes from exact kernel-epilogue
+            # stats (no grid-wide stats pass) and the optional width-only
+            # resize is one MXU matmul on the band accumulators — both
+            # inside voxelize_folded, at sensor res, in the reference's
+            # normalize -> crop -> resize order
+            normalize=normalize and band,
+            resize_width_to=resize_width_to if band else None,
+            resize_align_corners=resize_align_corners,
+        )  # NHWC or s2d blocks
+        if normalize and not band:
             flat = grid.reshape(grid.shape[0], 1, -1)
             grid = _normalize_flat(flat).reshape(grid.shape)
         return grid
+    assert offsets_kind != "band", (
+        "pre-folded (band-offset) events carry pre-weighted polarities; "
+        "only the Pallas fold-free kernel consumes them")
     assert layout == "nhwc", "s2d layout requires the Pallas voxelizer"
 
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)

@@ -686,6 +686,11 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
     n_bands = hp // th
     t_dim, n = raw_windows.shape[:2]
 
+    if capacity is None:
+        # ghosts only exist on the trilinear path (integer-coordinate
+        # temporal streams never cross a row block)
+        capacity = n + n // 8 + 8 if trilinear else n
+
     from ess_tpu.data import native
     got = native.band_bin_folded(raw_windows, valid, height=height,
                                  width=width, tile_h=th,
@@ -693,7 +698,7 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
     if got is not None:
         return got
 
-    n2 = capacity if capacity is not None else n + n // 8 + 8
+    n2 = capacity
 
     out = np.zeros((t_dim, n2, 4), np.float32)
     out_valid = np.zeros((t_dim, n2), bool)
@@ -756,11 +761,36 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
     return out, out_valid, offsets
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_w_matrix(in_w: int, out_w: int, in_pad: int, out_pad: int,
+                     align_corners: bool):
+    """(in_pad, out_pad) f32 width-resize matrix: column j of the output is
+    the bilinear interpolation of the input columns at source position
+    src(j) — torch align_corners=True (j*(in-1)/(out-1)) or half-pixel
+    centers. Exact transcription of ops.resize.resize_bilinear's sampling
+    for the width axis (antialias-free 2-tap)."""
+    import numpy as np
+    R = np.zeros((in_pad, out_pad), np.float32)
+    for j in range(out_w):
+        if align_corners:
+            src = j * (in_w - 1) / max(out_w - 1, 1)
+        else:
+            src = (j + 0.5) * in_w / out_w - 0.5
+        src = min(max(src, 0.0), in_w - 1)
+        i0 = int(np.floor(src))
+        i1 = min(i0 + 1, in_w - 1)
+        f = src - i0
+        R[i0, j] += 1.0 - f
+        R[i1, j] += f
+    return R
+
+
 def voxelize_folded(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
     interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nhwc",
     chunk: int = CHUNK, out_dtype=jnp.float32, with_stats: bool = False,
+    normalize: bool = False, resize_w=None,
 ):
     """(B, N) band-sorted PRE-FOLDED events + (B, n_bands+1) offsets ->
     voxel grids, with no post-kernel fold pass.
@@ -775,6 +805,17 @@ def voxelize_folded(
     normalization stats (sum, sum of squares, nonzero count) accumulated
     exactly in the kernel epilogue — valid because this mode's
     accumulators ARE the final grid (no later halo additions).
+
+    ``normalize=True`` applies the nonzero standardization directly from
+    those kernel-side stats (no grid-wide stats pass), at SENSOR
+    resolution — i.e. before any resize, matching the reference's
+    normalize -> crop -> resize order.
+
+    ``resize_w``: optional (width, out_width_padded) matrix from
+    :func:`_resize_w_matrix` — applies a width-only bilinear resize as a
+    minor-axis matmul on the band accumulators (MXU, ~0.6 ms at DDD17
+    step scale) BEFORE the layout transpose, so resize-width datasets
+    (DDD17 346->352) keep the fold-free s2d path end-to-end.
     """
     b, n = x.shape
     th = tile_h_for_bins(bins)
@@ -811,7 +852,8 @@ def voxelize_folded(
     out_specs = pl.BlockSpec(
         (1, 1, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
     out_shapes = jax.ShapeDtypeStruct((b, n_bands, rows_pad, width), out_dtype)
-    if with_stats:
+    want_stats = with_stats or normalize
+    if want_stats:
         out_specs = [out_specs, pl.BlockSpec(
             (1, 1, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
         out_shapes = [out_shapes, jax.ShapeDtypeStruct(
@@ -820,7 +862,7 @@ def voxelize_folded(
         functools.partial(_kernel, bins=bins, row_gap=th, rows=rows_pad,
                           k_tiles=1, col_slot=width, chunk=chunk,
                           oh_dtype=oh_dtype,
-                          stats_rows=rows if with_stats else 0),
+                          stats_rows=rows if want_stats else 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -837,12 +879,33 @@ def voxelize_folded(
         interpret=interpret,
     )(offsets, ev)
     stats = None
-    if with_stats:
+    if want_stats:
         out, raw_stats = out
         # per-(window, band) partials -> (B, 3) per-window totals
         stats = jnp.sum(raw_stats[:, :, 0, :3], axis=1)
 
     core = out[:, :, :rows].reshape(b, n_bands, bins, th, width)
+    if normalize:
+        # nonzero standardization from the kernel-side stats, applied at
+        # sensor resolution (before resize/crop) — _normalize_flat math
+        num = stats[:, 2]
+        num_f = jnp.maximum(num, 1.0)
+        mean = stats[:, 0] / num_f
+        var = stats[:, 1] / num_f - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        std = jnp.where(std > 0, std, 1.0)
+        bshape = (-1, 1, 1, 1, 1)
+        shift = mean.astype(core.dtype).reshape(bshape)
+        scale = (1.0 / std).astype(core.dtype).reshape(bshape)
+        normed = jnp.where(core != 0, (core - shift) * scale,
+                           jnp.zeros_like(core))
+        core = jnp.where((num > 0).reshape(bshape), normed, core)
+    if resize_w is not None:
+        # width-only bilinear resize as one MXU matmul along the minor axis
+        core = jnp.einsum(
+            "bncrw,wv->bncrv", core, resize_w.astype(core.dtype),
+            preferred_element_type=jnp.float32).astype(core.dtype)
+        width = core.shape[-1]
     if layout == "nchw":
         grid_out = jnp.transpose(core, (0, 2, 1, 3, 4)).reshape(
             b, bins, height, width)

@@ -56,6 +56,9 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
                 pipeline.s2d_capable(train=train) and recon._use_blocks
                 and not recon.flip
                 and (not quad or pipeline.s4d_capable(train=train))
+                # a width-only resize folds into the voxelizer, but only
+                # the pre-folded (band-offset) kernel mode supports it
+                and (cfg.resize_to is None or "ev_band_offsets" in batch)
                 and (g.padded_height, g.padded_width)
                 == (recon.height, recon.width)
                 and cfg.output_size(train) == (recon.height, recon.width))

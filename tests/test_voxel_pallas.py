@@ -516,3 +516,121 @@ def test_supervised_step_folded_batch(rng):
     step = sup.make_train_step(mods, pipe)
     state, out = step(state, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_pipeline_build_all_folded_resize_width(rng):
+    """DDD17-style width-only resize folds into the voxelizer (band mode):
+    build_all(layout='s2d') == s2d(standard nhwc build with its
+    normalize -> crop -> resize_bilinear chain)."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.conv_s2d import space_to_depth
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    b, t_dim, n, h, w = 2, 2, 500, 26, 170
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(raw[i], valid[i], height=h,
+                                          width=w, bins=5)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs = np.stack(rs), np.stack(vs)
+    band_batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs),
+        "ev_band_offsets": jnp.asarray(np.stack(os_)),
+    }
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=6, resize_to=(20, 176),
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    assert pipe.s2d_capable(train=True)
+
+    # reference: the standard chain on the same band batch (nhwc build
+    # normalizes from kernel stats, then crop + resize_bilinear on device)
+    ref, _ = pipe.build_all(band_batch)
+    got, _ = pipe.build_all(band_batch, layout="s2d",
+                            out_dtype=jnp.float32, time_major=True)
+    assert got.shape == (t_dim, b, 10, 88, 20)
+    ref_s2d = jax.vmap(space_to_depth, in_axes=1, out_axes=0)(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_s2d),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_supervised_step_folded_resize_matches_tile(rng):
+    """DDD17-shaped supervised step (crop + width-only resize): the folded
+    band batch (s2d build, resize in the voxelizer) and the tile batch
+    (standard NHWC build + device resize) compute the same loss."""
+    import dataclasses
+    import jax
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded, host_tile_bin
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+
+    sh, sw = 30, 170           # sensor; crop 6 -> 24 rows, resize w -> 176
+    oh, ow = 24, 176
+    b, t_dim, n = 2, 2, 400
+    cfg = Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(oh, ow)),
+            sensor_b=EventDatasetConfig(
+                name="DDD17_events", shape=(oh, ow), nr_events_data=t_dim,
+                nr_temporal_bins=5, nr_events_window=n)),
+        model=ModelConfig(model_name="ess_supervised", e2vid_base_channels=8,
+                          compute_dtype="float32"),
+        task=TaskConfig(semseg_num_classes=6),
+        optim=OptimConfig(batch_size_b=b))
+    mods = build_modules(cfg)
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=sh, sensor_width=sw, num_bins=5, normalize=True,
+        crop_bottom=6, resize_to=(oh, ow),
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    assert pipe.s2d_capable(train=True)
+
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.integers(0, sw, (b, t_dim, n))
+    raw[..., 1] = rng.integers(0, sh, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    label = rng.integers(0, 6, (b, oh, ow)).astype(np.int32)
+
+    def pack(fn, key):
+        rs, vs, os_ = [], [], []
+        for i in range(b):
+            r2, v2, o2 = fn(raw[i], valid[i])
+            rs.append(r2); vs.append(v2); os_.append(o2)
+        return {
+            "ev_x": jnp.asarray(np.stack(rs)[..., 0]),
+            "ev_y": jnp.asarray(np.stack(rs)[..., 1]),
+            "ev_t": jnp.asarray(np.stack(rs)[..., 2]),
+            "ev_p": jnp.asarray(np.stack(rs)[..., 3]),
+            "ev_valid": jnp.asarray(np.stack(vs)),
+            key: jnp.asarray(np.stack(os_)),
+            "label": jnp.asarray(label),
+        }
+
+    band = pack(lambda r, v: host_band_bin_folded(
+        r, v, height=sh, width=sw, bins=5, trilinear=False),
+        "ev_band_offsets")
+    tile = pack(lambda r, v: host_tile_bin(r, v, height=sh, width=sw,
+                                           bins=5), "ev_tile_offsets")
+
+    step = sup.make_train_step(mods, pipe)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    _, out_band = step(state, band)
+    state2 = init_state(mods, jax.random.PRNGKey(0))
+    _, out_tile = step(state2, tile)
+    lb, lt = float(out_band["loss"]), float(out_tile["loss"])
+    assert np.isfinite(lb) and np.isfinite(lt)
+    np.testing.assert_allclose(lb, lt, rtol=1e-4)
