@@ -25,6 +25,10 @@ def build_loaders(cfg, for_train=True):
     ds_b = cfg.dataset.sensor_b
     rectify_map = None
     from ess_tpu.ops.batch_voxel import effective_bins
+    # ghost-folded band binning pre-weights polarities with the voxel tent
+    # factors — only the voxel_grid representation can consume it; other
+    # representations (histogram, ev_segnet) keep tile-sorted raw events
+    binning = "folded" if ds_b.event_representation == "voxel_grid" else "tile"
     if ds_b.name.startswith("DSEC"):
         from ess_tpu.data.dsec import DSECEvents
         train_set = DSECEvents(ds_b.dataset_path, mode="train",
@@ -36,6 +40,7 @@ def build_loaders(cfg, for_train=True):
                                tile_bins=effective_bins(
                                    ds_b.nr_temporal_bins, ds_b.separate_pol,
                                    True),
+                               binning=binning,
                                wire_format=ds_b.wire_format)
         val_set = DSECEvents(ds_b.dataset_path, mode="val",
                              nr_events_data=ds_b.nr_events_data,
@@ -46,6 +51,7 @@ def build_loaders(cfg, for_train=True):
                              tile_bins=effective_bins(
                                  ds_b.nr_temporal_bins, ds_b.separate_pol,
                                  True),
+                             binning=binning,
                              wire_format=ds_b.wire_format)
     elif ds_b.name.startswith("DDD17"):
         from ess_tpu.data.ddd17 import DDD17Events
@@ -56,7 +62,8 @@ def build_loaders(cfg, for_train=True):
                                 delta_t_per_data=ds_b.delta_t_per_data,
                                 tile_bins=effective_bins(
                                     ds_b.nr_temporal_bins, ds_b.separate_pol,
-                                    False))
+                                    False),
+                                binning=binning)
         val_set = DDD17Events(ds_b.dataset_path, split="valid",
                               nr_events_data=ds_b.nr_events_data,
                               nr_events_window=ds_b.nr_events_window,
@@ -65,7 +72,8 @@ def build_loaders(cfg, for_train=True):
                               require_paired_data=ds_b.require_paired_data_val,
                               tile_bins=effective_bins(
                                   ds_b.nr_temporal_bins, ds_b.separate_pol,
-                                  False))
+                                  False),
+                              binning=binning)
     else:
         raise ValueError(f"unknown sensor-B dataset: {ds_b.name}")
 

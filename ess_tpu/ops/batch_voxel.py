@@ -234,6 +234,15 @@ def voxelize_window_soa(
 
     if use_pallas is None:
         use_pallas = _use_pallas_default()
+        if not use_pallas and offsets_kind == "band":
+            # Pre-folded (band-offset) batches carry pre-weighted
+            # polarities + ghost records that ONLY the fold-free Pallas
+            # kernel (voxelize_folded) can consume — on a non-TPU backend
+            # (CPU tests, the train CLI run off-chip) auto-resolution runs
+            # that kernel in interpret mode instead of falling back to the
+            # XLA scatter path, which has no folded decode.
+            use_pallas = True
+            pallas_interpret = True
     if use_pallas and representation == "voxel_grid":
         assert rectify_map is None or tile_offsets is None, (
             "host tile offsets were computed on pre-rectification "
