@@ -113,18 +113,14 @@ class ModelConfig:
     # double-rate MXU gates on the frozen forward-only rollout; validation
     # and eval keep the exact `lstm_impl` cell). None = same as lstm_impl.
     lstm_impl_train: Optional[str] = None
-    # Quad-block (s4d) train rollout: None/False = off (the round-3 v5e
-    # ladder measured it a -104 w/s full-step regression despite winning
-    # its micro-benchmark, tools/bench_increments.py); True opts in where
-    # the exact-math remap applies (no-norm ConvLSTM backbones with >= 2
-    # encoders — True cannot force an illegal remap).
-    quad_block_train: Optional[bool] = None
-    # Block-space segmentation-head evaluation in the TRAIN steps (s2d/s4d
-    # stages + folded-label losses, models/seghead.py): None/False = off
-    # (measured -59 w/s on the v5e full step, same ladder); True opts in
-    # where the skip-connect head's logits geometry tiles 4x4. Eval and
-    # validation always run the standard head.
-    block_head_train: Optional[bool] = None
+    # NOTE (r4): the former `quad_block_train` / `block_head_train` pins
+    # were REMOVED after three independent full-step ladder measurements
+    # showed both exact-math levers as regressions on v5e (quad −104/−109,
+    # blocked head −59/−58/−62; tools/bench_increments.py r3+r4,
+    # bench_uda_increments r4). The machinery survives as documented,
+    # parity-tested experiments reachable programmatically
+    # (RecurrentUNet(quad_block=True), SegmentationHead block_space) but is
+    # no longer part of the config surface.
     # optional eval pass over the TRAIN sets each validation
     # (trainDatasetStatisticsEpoch, base_trainer.py:429-431/:473-498; the
     # reference's ESS trainers hard-disable it)
@@ -318,10 +314,6 @@ def load_config(path_or_dict: str | dict) -> Config:
         head_conv_impl=_get(model_raw, "head_conv_impl", "auto"),
         lstm_impl=_get(model_raw, "lstm_impl", "auto"),
         lstm_impl_train=_get(model_raw, "lstm_impl_train", None) or None,
-        quad_block_train=_normalize_opt_bool(
-            _get(model_raw, "quad_block_train", None)),
-        block_head_train=_normalize_opt_bool(
-            _get(model_raw, "block_head_train", None)),
         do_val_training_epoch=bool(
             _get(model_raw, "do_val_training_epoch", False)),
         compute_dtype=_get(model_raw, "compute_dtype", "bfloat16"),

@@ -112,22 +112,14 @@ def build_modules(cfg: Config, *, steps_per_epoch: int = 1) -> ESSModules:
     train_impl = e2vid.lstm_impl
     if m.lstm_impl_train is not None:
         train_impl = resolve_lstm_impl(m.lstm_impl_train)
-    # Quad-block rollout for training: the head + first encoder evaluate at
-    # quarter resolution with 4x channel widths via exact-math weight
-    # remaps (models/e2vid.py quad_block). Micro-benchmarks priced level 0
-    # at 2x the per-FLOP cost of level 1, but the FULL STEP measured a
-    # -104 w/s REGRESSION on v5e (580 -> 476, tools/bench_increments.py
-    # round-3 ladder) — the remapped 7x7-equivalent block kernels add more
-    # MXU work than the layout win returns. Auto therefore resolves OFF;
-    # the pin remains an opt-in for toolchains where the trade flips.
-    # num_encoders >= 2 legality: the quad first level leaves its state in
-    # s2d form for the NEXT encoder; with a single encoder the decoder
-    # would see 4x-wide channels at quarter resolution (shape mismatch).
-    quad_legal = (m.e2vid_norm is None and m.e2vid_recurrent_block == "convlstm"
-                  and m.e2vid_num_encoders >= 2)
-    quad = bool(m.quad_block_train) and quad_legal  # True cannot force illegal
-    if train_impl != e2vid.lstm_impl or quad:
-        e2vid_train = e2vid.clone(lstm_impl=train_impl, quad_block=quad)
+    # NOTE (r4): the quad-block train rollout is no longer wired here — it
+    # measured a full-step regression on v5e in two independent ladders
+    # (−104 r3, −109 r4, tools/bench_increments.py) despite winning its
+    # micro-benchmark. The exact-math machinery survives as a tested
+    # experiment (models/e2vid.py quad_block, tests/test_quad_block.py),
+    # constructible directly via RecurrentUNet(quad_block=True).
+    if train_impl != e2vid.lstm_impl:
+        e2vid_train = e2vid.clone(lstm_impl=train_impl)
     recon_train = Reconstructor(model=e2vid_train, height=th, width=tw,
                                 normalize=False)
     recon_val = Reconstructor(model=e2vid, height=vh, width=vw,

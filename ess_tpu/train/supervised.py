@@ -28,8 +28,7 @@ import jax.numpy as jnp
 from ess_tpu.data.pipeline import AugmentParams, EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
-from ess_tpu.train.losses import (
-    fold_labels_s4d, s4d_logits_class_minor, task_loss)
+from ess_tpu.train.losses import task_loss
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 
@@ -109,25 +108,16 @@ def make_train_step(
             mods, mods.recon_train, state, batch, pipeline, train=True, rng=rng)
         latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
 
-        # Blocked head evaluation (exact math, same params — see
-        # models/seghead.py). Measured a -59 w/s full-step REGRESSION on
-        # v5e (639 -> 580, tools/bench_increments.py round-3 ladder): the
-        # blocked stages' extra block-kernel FLOPs cost more than the
-        # lane-padded full-res logits they avoid. OFF unless pinned True.
-        lh, lw = labels.shape[1], labels.shape[2]
-        use_block = (bool(cfg.model.block_head_train)
-                     and mods.head.skip_connect
-                     and lh % 4 == 0 and lw % 4 == 0)
-        if use_block:
-            labels = fold_labels_s4d(labels)
-
+        # NOTE (r4): the blocked-head train evaluation was unwired after
+        # three independent full-step ladder regressions on v5e (−59 r3,
+        # −58 UDA r4, −62 r4; tools/bench_increments.py) — the blocked
+        # stages' extra block-kernel FLOPs cost more than the lane-padded
+        # full-res logits they avoid. The exact-math machinery survives as
+        # a tested experiment (models/seghead.py block_space +
+        # train/losses.py fold adapters, tests/test_seghead_block.py).
         def loss_fn(back_params):
-            preds = mods.head.apply({"params": back_params}, latent,
-                                    block_space=use_block)
+            preds = mods.head.apply({"params": back_params}, latent)
             logits = preds[1]
-            if use_block:
-                logits = s4d_logits_class_minor(
-                    logits, cfg.task.semseg_num_classes)
             return task_loss(
                 logits, labels,
                 num_classes=cfg.task.semseg_num_classes,

@@ -35,8 +35,7 @@ from ess_tpu.data.pipeline import EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
 from ess_tpu.train.losses import (
-    fold_labels_s4d, l1_loss, s4d_logits_class_minor,
-    symmetric_js_divergence, task_loss)
+    l1_loss, symmetric_js_divergence, task_loss)
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 from ess_tpu.train.supervised import _rollout
@@ -81,32 +80,18 @@ def uda_losses(
 
     losses: Dict[str, jax.Array] = {}
 
-    # Blocked head evaluation (exact math, same params — see
-    # models/seghead.py): gated per branch resolution since sensor A and
-    # the event branch can train at different sizes (DDD17). The 1x symJS
-    # and task losses get class-minor views / folded labels; the 2x/4x L1s
-    # compare identical layouts on both sides so they need no adapter.
-    # OFF unless pinned True: the supervised ladder measured the blocked
-    # head a net regression on v5e (tools/bench_increments.py, round 3).
-    blk = bool(cfg.model.block_head_train)
-    bs_img = (blk and mods.head.skip_connect
-              and img_a.shape[1] % 4 == 0 and img_a.shape[2] % 4 == 0)
-    bs_ev = (blk and mods.head.skip_connect
-             and img_fake.shape[1] % 4 == 0 and img_fake.shape[2] % 4 == 0)
-
-    def cm(logits, blocked):
-        return s4d_logits_class_minor(logits, nc) if blocked else logits
+    # NOTE (r4): the blocked-head evaluation was unwired from this step
+    # after repeated full-step ladder regressions on v5e (−58 UDA r4, −59/
+    # −62 supervised r3/r4); the machinery survives as a tested experiment
+    # (models/seghead.py block_space, train/losses.py fold adapters).
 
     # ---------------- image branch (img_train_step) ----------------
     latent_a, mut = mods.front_a.apply(
         {"params": front_params, "batch_stats": batch_stats},
         img_a, train=True, mutable=["batch_stats"])
     content_a = jax.tree.map(sg, latent_a) if is_dsec else latent_a
-    pred_a = mods.head.apply({"params": back_params}, content_a,
-                             block_space=bs_img)
-    t_img = tloss(cm(pred_a[1], bs_img),
-                  fold_labels_s4d(labels_a) if bs_img else labels_a
-                  ) * w.weight_task_loss
+    pred_a = mods.head.apply({"params": back_params}, content_a)
+    t_img = tloss(pred_a[1], labels_a) * w.weight_task_loss
     losses["semseg_sensor_a_loss"] = t_img
 
     # ---------------- event branch ----------------
@@ -122,17 +107,14 @@ def uda_losses(
         skip_connect_encoder=cfg.model.skip_connect_encoder,
         weight=w.weight_cycle_emb_loss, losses=losses,
         prefix="sensor_b_to_sensor_a")
-    pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake,
-                                   block_space=bs_ev)
+    pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
     # the event-branch prediction is computed ONCE (latent_real is already
     # stop-gradient, so gradients reach only the head); its sg'd copy is
     # the reference's torch.no_grad target (trainCycleStep :191-193) —
     # forward values are identical, one full-res head pass saved
-    pred_real = mods.head.apply({"params": back_params}, latent_real,
-                                block_space=bs_ev)
+    pred_real = mods.head.apply({"params": back_params}, latent_real)
     pred_real_ng = jax.tree.map(sg, pred_real)
-    sym_1x = symmetric_js_divergence(cm(pred_fake_fr[1], bs_ev),
-                                     cm(pred_real_ng[1], bs_ev))
+    sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
     losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
     if is_dsec:  # only DSEC adds the 1x symJS to e-loss (:240-241)
         e_loss = e_loss + sym_1x
@@ -145,14 +127,11 @@ def uda_losses(
     # stop-gradient so no path to the encoder).
     pred_fake_ng = jax.tree.map(sg, pred_fake_fr)
     t_ev = symmetric_js_divergence(
-        cm(pred_real[1], bs_ev), cm(pred_fake_ng[1], bs_ev)
-    ) * w.weight_cycle_pred_loss
+        pred_real[1], pred_fake_ng[1]) * w.weight_cycle_pred_loss
     for s in (2, 4):
         t_ev = t_ev + l1_loss(pred_real[s], pred_fake_ng[s]) * w.weight_cycle_task_loss
     if cfg.model.train_on_event_labels and labels_b is not None:
-        t_b = tloss(cm(pred_real[1], bs_ev),
-                    fold_labels_s4d(labels_b) if bs_ev else labels_b
-                    ) * w.weight_task_loss
+        t_b = tloss(pred_real[1], labels_b) * w.weight_task_loss
         losses["semseg_sensor_b_loss"] = t_b
         t_ev = t_ev + t_b
 

@@ -142,52 +142,17 @@ def test_block_kernel_rejects_even_block_kernel(rng):
         block_kernel(k5, bi=4, bo=1, stride=4)
 
 
-def test_quad_gate_requires_multiple_encoders():
-    """A quad_block_train=True pin must not enable quad_block for a
-    1-encoder model (the s2d state would reach the decoder 4x wide), and
-    ESS training requires the 3-encoder E2VID outright (scale-8 seghead
-    latent). Auto (None) resolves OFF: the full-step ladder measured quad
-    a net regression on v5e (tools/bench_increments.py, round 3)."""
+def test_quad_model_constructible_and_builder_never_quads():
+    """The quad-block rollout is a demoted experiment (r3/r4 ladders both
+    measured it a full-step regression): the builder NEVER enables it, but
+    the model-level capability stays constructible directly."""
     from ess_tpu.core.config import (
         Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
         ModelConfig, OptimConfig, TaskConfig)
+    from ess_tpu.models.e2vid import RecurrentUNet
     from ess_tpu.train.builder import build_modules
 
-    def cfg(n):
-        return Config(
-            dataset=DatasetConfig(
-                sensor_a=ImageDatasetConfig(shape=(32, 32)),
-                sensor_b=EventDatasetConfig(
-                    name="DSEC_events", shape=(32, 32), nr_events_data=2,
-                    nr_temporal_bins=5, nr_events_window=64)),
-            model=ModelConfig(model_name="ess_supervised",
-                              e2vid_num_encoders=n, quad_block_train=True),
-            task=TaskConfig(semseg_num_classes=3),
-            optim=OptimConfig(batch_size_b=1))
-
-    with pytest.raises(AssertionError, match="e2vid_num_encoders=3"):
-        build_modules(cfg(1))
-    mods = build_modules(cfg(3))
-    assert mods.recon_train.model.quad_block
-    # auto (no pin) resolves OFF
-    auto = dataclasses.replace(
-        cfg(3), model=dataclasses.replace(cfg(3).model, quad_block_train=None))
-    assert not build_modules(auto).recon_train.model.quad_block
-
-
-def test_quad_gate_explicit_pin():
-    """quad_block_train=False is an explicit OFF pin (equivalent to the
-    None default since the round-3 ladder measured quad a full-step
-    regression and auto now resolves it OFF); True cannot force an
-    illegal remap."""
-    import dataclasses
-
-    from ess_tpu.core.config import (
-        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
-        ModelConfig, OptimConfig, TaskConfig)
-    from ess_tpu.train.builder import build_modules
-
-    base = Config(
+    cfg = Config(
         dataset=DatasetConfig(
             sensor_a=ImageDatasetConfig(shape=(32, 32)),
             sensor_b=EventDatasetConfig(
@@ -196,16 +161,13 @@ def test_quad_gate_explicit_pin():
         model=ModelConfig(model_name="ess_supervised"),
         task=TaskConfig(semseg_num_classes=3),
         optim=OptimConfig(batch_size_b=1))
-
-    pinned_off = dataclasses.replace(
-        base, model=dataclasses.replace(base.model, quad_block_train=False))
-    assert not build_modules(pinned_off).recon_train.model.quad_block
-
-    # True on a norm'd backbone (remap illegal) must stay off
-    normed = dataclasses.replace(
-        base, model=dataclasses.replace(
-            base.model, e2vid_norm="batch", quad_block_train=True))
-    assert not build_modules(normed).recon_train.model.quad_block
+    mods = build_modules(cfg)
+    assert not mods.recon_train.model.quad_block
+    assert not mods.recon_val.model.quad_block
+    # direct construction (the experiment path) still works
+    m = RecurrentUNet(base_channels=8, quad_block=True, dtype=jnp.float32,
+                      lstm_impl="xla")
+    assert m.quad_block
 
 
 def test_s4d_fallback_fold_odd_padded_height(rng):

@@ -277,20 +277,34 @@ def test_uda_step_packed_wire(rng):
     assert "cycle_latent_8x_sensor_b_to_sensor_a_loss" in losses
 
 
-def test_block_head_train_pin(rng):
-    """block_head_train=True opts into the blocked head (auto now resolves
-    OFF — it measured a full-step regression on v5e, see
-    tools/bench_increments.py); the blocked path is exact-math so both pins
-    produce the same loss."""
+def test_blocked_head_experiment_matches_standard(rng):
+    """The blocked SegmentationHead is a demoted experiment (three
+    full-step ladder regressions on v5e) — no config surface — but the
+    op-level path must stay exact: head.apply(block_space=True) folded
+    through the loss adapters equals the standard evaluation."""
+    import jax.numpy as jnp_
+
+    from ess_tpu.train.losses import (
+        fold_labels_s4d, s4d_logits_class_minor, task_loss)
+
     cfg = tiny_config()
     batch = synthetic_batch(rng)
+    mods = build_modules(cfg)
+    state = init_state(mods, jax.random.PRNGKey(0))
+    _, _, latent = mods.recon_train.rollout(
+        state.e2vid_params, batch["events"])
+    latent = jax.tree.map(jnp_.asarray, latent)
+    labels = batch["label"]
+    nc = cfg.task.semseg_num_classes
 
-    def run(pin):
-        c = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, block_head_train=pin))
-        mods = build_modules(c)
-        state = init_state(mods, jax.random.PRNGKey(0))
-        _, out = sup.make_train_step(mods)(state, batch)
-        return float(out["loss"])
-
-    np.testing.assert_allclose(run(True), run(None), rtol=1e-5)
+    std = mods.head.apply({"params": state.back_params}, latent)
+    loss_std = task_loss(std[1], labels, num_classes=nc, ignore_label=255)
+    if (mods.head.skip_connect and labels.shape[1] % 4 == 0
+            and labels.shape[2] % 4 == 0):
+        blk = mods.head.apply({"params": state.back_params}, latent,
+                              block_space=True)
+        loss_blk = task_loss(
+            s4d_logits_class_minor(blk[1], nc), fold_labels_s4d(labels),
+            num_classes=nc, ignore_label=255)
+        np.testing.assert_allclose(float(loss_blk), float(loss_std),
+                                   rtol=1e-5)

@@ -3,12 +3,10 @@
 Measures bench.py's exact step across a ladder of config increments so one
 tunnel session yields the full round-3 anatomy (BASELINE.md table):
 
-  0. xla-cells       lstm_impl='xla', quad off, block head off
+  0. xla-cells       lstm_impl='xla'
   1. int8-cells      fused Pallas int8 train cells — the r3 default
-  2. +folded-voxel   ghost-folded band binning -> fold-free kernel mode
-  3. +voxel-int8     double-rate int8 MXU tent planes (round 4)
-  4. +block-head     blocked SegmentationHead (s2d/s4d stages, folded losses)
-  5. +quad           quad-block s4d rollout
+  2. +folded-voxel   ghost-folded band binning -> fold-free kernel (default)
+  3. +voxel-int8     int8 tent planes (opt-in pin; measured -11 w/s)
 
 Round-3 v5e results: 546.8 / 639.3 / 580.2 / 476.4 windows/s — the blocked
 head (-59) and quad rollout (-104) are full-step REGRESSIONS despite winning
@@ -32,15 +30,15 @@ sys.path.insert(0, "/root/repo")
 import bench  # noqa: E402  (shares config/batch with the driver metric)
 
 # (name, model tweaks, pipeline overrides, folded batch?)
+# Demoted rungs (r4 final reprice, measured on the folded+stats stack):
+#   +block-head 597.3 (-62) and +quad 488.6 (-109 further) — third/second
+#   independent full-step regressions; both were removed from the config
+#   surface (VERDICT r3 #7) and survive only as op-level experiments.
 LADDER = [
     ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, {}, False),
     ("int8-cells (r3 default)", {}, {}, False),
     ("+folded-voxel", {}, {}, True),
-    ("+voxel-int8", {}, {"voxel_oh_dtype": "int8"}, True),
-    ("+block-head", {"block_head_train": True}, {"voxel_oh_dtype": "int8"},
-     True),
-    ("+quad", {"block_head_train": True, "quad_block_train": True},
-     {"voxel_oh_dtype": "int8"}, True),
+    ("+voxel-int8 (opt-in)", {}, {"voxel_oh_dtype": "int8"}, True),
 ]
 
 

@@ -6,9 +6,6 @@ exact step (B8 images + B8 x T20 x 100k events at 440x640):
   0. xla-cells       lstm_impl='xla', resnet stem 'xla'
   1. int8-cells      fused Pallas int8 train cells, stem 'xla'
   2. +blocked-stem   resnet stem+layer1 in s2d block space (the default)
-  3. +block-head     blocked SegmentationHead in all 3 UDA head passes
-                     (opt-in: the supervised ladder measured it a full-step
-                     regression on v5e, so auto resolves it OFF)
 
 The resnet stem toggle is a module attribute (models/resnet.py stem_impl),
 swapped via dataclasses.replace on the built front module — same params.
@@ -25,11 +22,12 @@ sys.path.insert(0, "/root/repo")
 
 import bench_extra  # noqa: E402
 
+# Demoted rung (r4): +block-head measured 359.4 (-58) on this step and was
+# removed from the config surface (it survives as an op-level experiment).
 LADDER = [
     ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, "xla"),
     ("int8-cells", {}, "xla"),
     ("+blocked-stem (default)", {}, "auto"),
-    ("+block-head", {"block_head_train": True}, "auto"),
 ]
 
 

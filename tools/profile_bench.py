@@ -128,40 +128,14 @@ def main() -> None:
         parse_xplane(trace_dir)
         return
 
+    # the EXACT bench.py program: shared config, pipeline, and (folded)
+    # batch builders, so profiles attribute the driver metric's step
     cfg = bench.make_cfg()
     mods = build_modules(cfg)
     state = init_state(mods, jax.random.PRNGKey(0))
-    pipeline = EventPipeline(PipelineConfig(
-        sensor_height=bench.SENSOR_H, sensor_width=bench.SENSOR_W,
-        num_bins=bench.BINS, crop_bottom=40, trilinear=True, normalize=True))
+    pipeline = bench.make_pipeline()
     step = sup.make_train_step(mods, pipeline)
-
-    rng = np.random.default_rng(0)
-    shape = (bench.BATCH, bench.WINDOWS, bench.EVENTS_PER_WINDOW)
-    raw = np.zeros(shape + (4,), np.float32)
-    raw[..., 0] = rng.uniform(0, bench.SENSOR_W - 1, shape)
-    raw[..., 1] = rng.uniform(0, bench.SENSOR_H - 1, shape)
-    raw[..., 2] = np.sort(rng.uniform(0, 5e4, shape), axis=-1)
-    raw[..., 3] = rng.integers(0, 2, shape)
-    valid = np.ones(shape, bool)
-    from ess_tpu.ops.voxel_pallas import host_tile_bin
-    import jax.numpy as jnp
-    sraw = np.empty_like(raw)
-    svalid = np.empty_like(valid)
-    offs = []
-    for b in range(bench.BATCH):
-        sraw[b], svalid[b], o = host_tile_bin(
-            raw[b], valid[b], height=bench.SENSOR_H, width=bench.SENSOR_W)
-        offs.append(o)
-    batch = {
-        "ev_x": jnp.asarray(sraw[..., 0]), "ev_y": jnp.asarray(sraw[..., 1]),
-        "ev_t": jnp.asarray(sraw[..., 2]), "ev_p": jnp.asarray(sraw[..., 3]),
-        "ev_valid": jnp.asarray(svalid),
-        "ev_tile_offsets": jnp.asarray(np.stack(offs)),
-        "label": jnp.asarray(
-            rng.integers(0, bench.NUM_CLASSES, (bench.BATCH, 440, 640)),
-            jnp.int32),
-    }
+    batch = bench.make_batch(folded=True)
 
     state, out = step(state, batch)
     float(out["loss"])  # warmup/compile
