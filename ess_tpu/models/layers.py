@@ -600,6 +600,29 @@ def _gaussian_init(stddev: float = 0.02):
     return nn.initializers.normal(stddev=stddev)
 
 
+class _UpFusedConv(nn.Module):
+    """``conv_kxk(up2x_nearest(x))`` with the upsample folded into the
+    weights (ops/conv_s2d.fold_up2x_into_conv) — output in s2d form
+    (B, h, w, 4*features). Parameters are identical to nn.Conv's
+    (k, k, C_in, features) 'kernel' + 'bias', so checkpoints interchange
+    with the standard upsample-then-conv evaluation."""
+
+    features: int
+    kernel_size: int = 3
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ess_tpu.ops.conv_s2d import up2x_conv_fused
+
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return up2x_conv_fused(x, kernel, bias, dtype=self.dtype)
+
+
 class ReLUINSConv2d(nn.Module):
     """conv -> InstanceNorm(no affine) -> ReLU with N(0, 0.02) init
     (style_networks.py:159-171).
@@ -621,7 +644,23 @@ class ReLUINSConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, block_space: int | bool = False,
-                 in_segments: Optional[Tuple[int, ...]] = None) -> jax.Array:
+                 in_segments: Optional[Tuple[int, ...]] = None,
+                 up2x_fused: bool = False) -> jax.Array:
+        if up2x_fused:
+            # conv(up2x_nearest(x)) with the upsample folded into the conv
+            # weights (ops/conv_s2d.fold_up2x_into_conv): one conv at SOURCE
+            # resolution emits all four output parities as s2d channels —
+            # same params, same math, identical MAC count for k=3, and the
+            # doubled-resolution conv / full-res InstanceNorm tensors never
+            # exist. IN statistics pool over the parity subchannels (the
+            # identical value set as full-res IN).
+            assert self.strides == 1 and not block_space
+            x = _UpFusedConv(
+                self.features, kernel_size=self.kernel_size,
+                kernel_init=_gaussian_init(), dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+            return nn.relu(instance_norm_blocked(x, 2))
         if block_space:
             bi = 4 if block_space == 4 else 2
             assert self.strides == 1, "blocked IN conv is stride-1 only"

@@ -63,13 +63,15 @@ class SegmentationHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latent: Latent, *, block_space: bool = False) -> Latent:
+    def __call__(self, latent: Latent, *, block_space: bool = False,
+                 fused_final: bool = False) -> Latent:
         tch = self.input_features
         x = latent[8].astype(self.dtype)
         out: Latent = {8: latent[8]}
         assert not (block_space and not self.skip_connect), (
             "block_space supports the skip_connect head (the production "
             "config); the non-skip variant has no blocked path")
+        assert not (block_space and fused_final)
 
         if self.skip_connect:
             for i in range(5):
@@ -116,13 +118,7 @@ class SegmentationHead(nn.Module):
             x = ReLUINSConv2d(tch // 4, dtype=self.dtype, name="s3_b")(x)
             out[2] = x
 
-            x = upsample2x_nearest(x)
-            x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
-            x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
-            # logits stay in compute dtype: the values are already bf16
-            # -rounded, so upcasting here only materializes a 2x-bandwidth
-            # full-res f32 tensor; the losses upcast inside their own passes
-            out[1] = x
+            out[1] = self._final_stage(x, fused_final)
         else:
             if self.input_index_map:
                 n, h, w, _ = x.shape
@@ -139,9 +135,35 @@ class SegmentationHead(nn.Module):
             x = upsample2x_nearest(x)
             x = ReLUINSConv2d(tch // 4, dtype=self.dtype, name="s3")(x)
             out[2] = x
-            x = upsample2x_nearest(x)
-            x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
-            x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
-            out[1] = x
+            out[1] = self._final_stage(x, fused_final)
 
         return out
+
+    def _final_stage(self, x: jax.Array, fused: bool) -> jax.Array:
+        """The scale-1 stage: nearest-2x upsample -> 3x3 conv + IN + ReLU
+        ('s4') -> 1x1 class conv ('logits').
+
+        ``fused=True`` folds the upsample into the s4 conv's weights
+        (models/layers._UpFusedConv — identical MACs, full MXU occupancy,
+        source-resolution InstanceNorm) and applies the 1x1 logits conv on
+        the parity-unpacked (B, h, w*4, C_s4) view, so logits emerge
+        class-minor at (B, h, w*4, num_classes) — one pseudo-pixel per
+        full-res pixel in (j, r, s) order, ready for the folded losses
+        (train/losses.fold_labels_up2x) — and the lane-padded full-res
+        (2h, 2w, C<=32) tensors of this stage never exist. Same parameters,
+        same math as the standard evaluation."""
+        tch = self.input_features
+        if fused:
+            x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(
+                x, up2x_fused=True)                    # (B, h, w, 4*C_s4)
+            b, h, w, c4 = x.shape
+            x = x.reshape(b, h, w * 4, c4 // 4)        # parity pseudo-pixels
+            return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                           name="logits")(x)
+        x = upsample2x_nearest(x)
+        x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
+        # logits stay in compute dtype: the values are already bf16
+        # -rounded, so upcasting here only materializes a 2x-bandwidth
+        # full-res f32 tensor; the losses upcast inside their own passes
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="logits")(x)

@@ -180,6 +180,58 @@ def tile_upsample2x_s2d(x: jax.Array) -> jax.Array:
     return jnp.tile(x, (1, 1, 1, 4))
 
 
+def fold_up2x_into_conv(kernel: jax.Array) -> jax.Array:
+    """Fold a nearest-2x upsample into the following conv's weights.
+
+    ``conv_kxk(up2x_nearest(x)) == depth_to_space(conv(x, W'))`` exactly:
+    output pixel (2i+r, 2j+s) of the upsample-then-conv taps
+    ``up(x)[2i+r+ky-p] = x[i + floor((r+ky-p)/2)]`` (p = k//2), so each
+    output parity is a small conv directly on ``x`` — original taps that
+    land on the same source pixel have their weights summed. One conv emits
+    all four parities as s2d channels ``(r*2+s)*C_out + co``.
+
+    Why: the upsample-then-conv stages (segmentation-head scale-1 stage,
+    reference style_networks.py:100-104; E2VID decoders) otherwise run at
+    doubled resolution with narrow output channels (quarter MXU occupancy)
+    and force full-resolution InstanceNorm / logits tensors. Folded, the
+    conv contracts at source resolution with 4x wider output: k=3 has
+    IDENTICAL total MACs (each parity uses 2 of the 3 taps per axis) and
+    k=5 folds to a 3x3 (0.36x the MACs). Parameters are unchanged —
+    gradients flow through the (linear) remap.
+    """
+    k = kernel.shape[0]
+    assert kernel.shape[1] == k and k % 2 == 1, kernel.shape
+    p = k // 2
+    deltas = sorted({(r + ky - p) // 2 for r in (0, 1) for ky in range(k)})
+    kp = len(deltas)
+    assert -deltas[0] == deltas[-1], deltas  # symmetric -> SAME padding
+    tap = np.zeros((2, kp, k), np.float32)   # tap[r, d, ky]
+    for r in (0, 1):
+        for ky in range(k):
+            tap[r, deltas.index((r + ky - p) // 2), ky] = 1.0
+    t = jnp.asarray(tap, kernel.dtype)
+    w4 = jnp.einsum("ray,sbx,yxio->abrsio", t, t, kernel)
+    kk, cin, cout = kp, kernel.shape[2], kernel.shape[3]
+    return w4.transpose(0, 1, 4, 2, 3, 5).reshape(kk, kk, cin, 4 * cout)
+
+
+def up2x_conv_fused(x: jax.Array, kernel: jax.Array,
+                    bias: jax.Array | None = None, *,
+                    dtype=None) -> jax.Array:
+    """``conv_kxk(up2x_nearest(x))`` evaluated at source resolution; output
+    is the s2d form (B, h, w, 4*C_out) of the (B, 2h, 2w, C_out) result
+    (:func:`fold_up2x_into_conv`)."""
+    dtype = dtype or x.dtype
+    w4 = fold_up2x_into_conv(kernel).astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w4, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, 4).astype(dtype)
+    return out
+
+
 def tile_upsample2x_s2d_to_s4d(x_s2d: jax.Array) -> jax.Array:
     """Nearest-2x upsample of an s2d tensor, emitted in s4d form.
 

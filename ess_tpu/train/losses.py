@@ -200,6 +200,24 @@ def s4d_logits_class_minor(logits_s4d: jax.Array, num_classes: int) -> jax.Array
     return logits_s4d.reshape(b, h, w * 16, num_classes)
 
 
+def fold_labels_up2x(labels: jax.Array) -> jax.Array:
+    """(B, H, W) labels -> (B, H/2, (W/2)*4) pseudo-pixels in (j, r, s)
+    order, matching the fused-final head's (B, h, w*4, C) logits
+    (models/seghead.py _final_stage fused=True).
+
+    The transpose runs on uint8 (class ids and the 255 ignore label all
+    fit) — 4x less relayout traffic than int32 — and the result is sealed
+    behind an optimization barrier: without it XLA propagates the 5-D
+    (..., 2, 2) fold shape into the CE/dice backward, materializing f32
+    loss intermediates in a pathological T(2,128) tiling (~7 ms/step at
+    DSEC scale, measured r4)."""
+    b, hh, ww = labels.shape
+    x = labels.astype(jnp.uint8).reshape(b, hh // 2, 2, ww // 2, 2)
+    x = x.transpose(0, 1, 3, 2, 4)          # (B, h, w, r, s)
+    x = x.reshape(b, hh // 2, (ww // 2) * 4).astype(jnp.int32)
+    return jax.lax.optimization_barrier(x)
+
+
 def fold_labels_s4d(labels: jax.Array) -> jax.Array:
     """(B, H, W) labels -> (B, H/4, (W/4)*16) in the s4d subpixel order,
     matching :func:`s4d_logits_class_minor` of the blocked head's logits."""

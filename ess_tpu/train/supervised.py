@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ess_tpu.data.pipeline import AugmentParams, EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
-from ess_tpu.train.losses import task_loss
+from ess_tpu.train.losses import fold_labels_up2x, task_loss
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 
@@ -108,15 +108,22 @@ def make_train_step(
             mods, mods.recon_train, state, batch, pipeline, train=True, rng=rng)
         latent = jax.lax.stop_gradient(latent)  # frozen backbone + detach
 
-        # NOTE (r4): the blocked-head train evaluation was unwired after
-        # three independent full-step ladder regressions on v5e (−59 r3,
-        # −58 UDA r4, −62 r4; tools/bench_increments.py) — the blocked
-        # stages' extra block-kernel FLOPs cost more than the lane-padded
-        # full-res logits they avoid. The exact-math machinery survives as
-        # a tested experiment (models/seghead.py block_space +
-        # train/losses.py fold adapters, tests/test_seghead_block.py).
+        # Fused-final head: the scale-1 stage's nearest-2x upsample folds
+        # into the s4 conv's weights (models/seghead.py _final_stage) —
+        # exact math, same params, identical MACs, and the lane-padded
+        # full-res conv/IN/logits tensors never exist. Unlike the demoted
+        # blocked-head levers (three full-step ladder regressions, −59/−58/
+        # −62 w/s — the block-kernel FLOP overhead), this remap adds NO
+        # FLOPs, so it is unconditionally on where the geometry allows.
+        lh, lw = labels.shape[1], labels.shape[2]
+        fused = (mods.head.skip_connect and lh % 2 == 0 and lw % 2 == 0
+                 and (lh // 2, lw // 2) == tuple(latent[2].shape[1:3]))
+        if fused:
+            labels = fold_labels_up2x(labels)
+
         def loss_fn(back_params):
-            preds = mods.head.apply({"params": back_params}, latent)
+            preds = mods.head.apply({"params": back_params}, latent,
+                                    fused_final=fused)
             logits = preds[1]
             return task_loss(
                 logits, labels,

@@ -35,7 +35,7 @@ from ess_tpu.data.pipeline import EventPipeline
 from ess_tpu.ops.resize import resize_nearest
 from ess_tpu.train.builder import ESSModules
 from ess_tpu.train.losses import (
-    l1_loss, symmetric_js_divergence, task_loss)
+    fold_labels_up2x, l1_loss, symmetric_js_divergence, task_loss)
 from ess_tpu.train.metrics import confusion_matrix
 from ess_tpu.train.state import TrainState, apply_updates
 from ess_tpu.train.supervised import _rollout
@@ -80,18 +80,27 @@ def uda_losses(
 
     losses: Dict[str, jax.Array] = {}
 
-    # NOTE (r4): the blocked-head evaluation was unwired from this step
-    # after repeated full-step ladder regressions on v5e (−58 UDA r4, −59/
-    # −62 supervised r3/r4); the machinery survives as a tested experiment
-    # (models/seghead.py block_space, train/losses.py fold adapters).
+    # Fused-final head (models/seghead.py _final_stage): the scale-1
+    # stage's nearest-2x upsample folds into the s4 conv's weights — exact
+    # math, same params, zero added FLOPs — so none of the three head
+    # passes materializes the lane-padded full-res conv/IN/logits tensors.
+    # Gated per branch resolution (sensor A and the event branch can train
+    # at different sizes on DDD17). Unlike the demoted blocked-head levers
+    # (−58/−59/−62 w/s full-step regressions), this remap is FLOP-neutral.
+    fk = mods.head.skip_connect
+    f_img = (fk and img_a.shape[1] % 2 == 0 and img_a.shape[2] % 2 == 0)
+    f_ev = (fk and img_fake.shape[1] % 2 == 0 and img_fake.shape[2] % 2 == 0)
 
     # ---------------- image branch (img_train_step) ----------------
     latent_a, mut = mods.front_a.apply(
         {"params": front_params, "batch_stats": batch_stats},
         img_a, train=True, mutable=["batch_stats"])
     content_a = jax.tree.map(sg, latent_a) if is_dsec else latent_a
-    pred_a = mods.head.apply({"params": back_params}, content_a)
-    t_img = tloss(pred_a[1], labels_a) * w.weight_task_loss
+    pred_a = mods.head.apply({"params": back_params}, content_a,
+                             fused_final=f_img)
+    t_img = tloss(pred_a[1],
+                  fold_labels_up2x(labels_a) if f_img else labels_a
+                  ) * w.weight_task_loss
     losses["semseg_sensor_a_loss"] = t_img
 
     # ---------------- event branch ----------------
@@ -107,12 +116,14 @@ def uda_losses(
         skip_connect_encoder=cfg.model.skip_connect_encoder,
         weight=w.weight_cycle_emb_loss, losses=losses,
         prefix="sensor_b_to_sensor_a")
-    pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake)
+    pred_fake_fr = mods.head.apply({"params": back_frozen}, latent_fake,
+                                   fused_final=f_ev)
     # the event-branch prediction is computed ONCE (latent_real is already
     # stop-gradient, so gradients reach only the head); its sg'd copy is
     # the reference's torch.no_grad target (trainCycleStep :191-193) —
     # forward values are identical, one full-res head pass saved
-    pred_real = mods.head.apply({"params": back_params}, latent_real)
+    pred_real = mods.head.apply({"params": back_params}, latent_real,
+                                fused_final=f_ev)
     pred_real_ng = jax.tree.map(sg, pred_real)
     sym_1x = symmetric_js_divergence(pred_fake_fr[1], pred_real_ng[1])
     losses["cycle_pred_1x_sensor_b_to_sensor_a_loss"] = sym_1x
@@ -131,7 +142,9 @@ def uda_losses(
     for s in (2, 4):
         t_ev = t_ev + l1_loss(pred_real[s], pred_fake_ng[s]) * w.weight_cycle_task_loss
     if cfg.model.train_on_event_labels and labels_b is not None:
-        t_b = tloss(pred_real[1], labels_b) * w.weight_task_loss
+        t_b = tloss(pred_real[1],
+                    fold_labels_up2x(labels_b) if f_ev else labels_b
+                    ) * w.weight_task_loss
         losses["semseg_sensor_b_loss"] = t_b
         t_ev = t_ev + t_b
 

@@ -209,3 +209,92 @@ def test_fold_labels_s4d_roundtrip(rng):
     ref = space_to_depth4(labels[..., None].astype(jnp.float32))
     ref = ref.reshape(B, H // 4, (W // 4) * 16)
     np.testing.assert_array_equal(folded, ref.astype(jnp.int32))
+
+
+# ----------------------------------------------------------------------
+# Fused-final stage (upsample folded into the s4 conv's weights)
+# ----------------------------------------------------------------------
+
+def test_fold_up2x_into_conv_exact(rng):
+    """conv_kxk(up2x_nearest(x)) == depth_to_space(conv(x, W')) for every
+    odd k; k=5 folds to a 3x3 (0.36x the MACs)."""
+    from ess_tpu.ops.conv_s2d import (
+        depth_to_space, fold_up2x_into_conv, up2x_conv_fused)
+
+    for k in (1, 3, 5, 7):
+        x = jnp.asarray(rng.normal(size=(2, 6, 10, 8)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, k, 8, 4)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = jax.lax.conv_general_dilated(
+            up, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = depth_to_space(up2x_conv_fused(x, w, b))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+        kp = fold_up2x_into_conv(w).shape[0]
+        assert kp == {1: 1, 3: 3, 5: 3, 7: 5}[k]
+
+
+def fold_logits_up2x(logits):
+    """Standard (B, H, W, C) logits -> the fused head's (B, H/2,
+    (W/2)*4, C) pseudo-pixel form (test-side reference fold)."""
+    b, hh, ww, c = logits.shape
+    x = logits.reshape(b, hh // 2, 2, ww // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hh // 2, (ww // 2) * 4, c)
+
+
+@pytest.mark.parametrize("skip_type", ["concat", "sum"])
+def test_fused_final_head_matches_standard(rng, skip_type):
+    """fused_final=True: identical out[2]/out[4], logits equal to the
+    pseudo-pixel fold of the standard full-res logits, and the losses on
+    folded labels match exactly — values AND gradients."""
+    from ess_tpu.train.losses import fold_labels_up2x
+
+    latent = _latent(rng)
+    head = SegmentationHead(num_classes=NCLS, input_features=256,
+                            skip_connect=True, skip_type=skip_type,
+                            dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), latent)["params"]
+    std = head.apply({"params": params}, latent)
+    fused = head.apply({"params": params}, latent, fused_final=True)
+    np.testing.assert_array_equal(np.asarray(std[4]), np.asarray(fused[4]))
+    np.testing.assert_array_equal(np.asarray(std[2]), np.asarray(fused[2]))
+    assert fused[1].shape == (B, H // 2, (W // 2) * 4, NCLS)
+    np.testing.assert_allclose(
+        np.asarray(fold_logits_up2x(std[1])), np.asarray(fused[1]),
+        rtol=0, atol=5e-5)
+
+    labels = jnp.asarray(rng.integers(0, NCLS, (B, H, W)), jnp.int32)
+    labels = labels.at[0, 0].set(255)  # exercise the ignore mask too
+
+    def loss_std(p):
+        return task_loss(head.apply({"params": p}, latent)[1], labels,
+                         num_classes=NCLS, ignore_label=255)
+
+    def loss_fused(p):
+        return task_loss(
+            head.apply({"params": p}, latent, fused_final=True)[1],
+            fold_labels_up2x(labels), num_classes=NCLS, ignore_label=255)
+
+    np.testing.assert_allclose(float(loss_std(params)),
+                               float(loss_fused(params)), rtol=1e-6)
+    g_s = jax.grad(loss_std)(params)
+    g_f = jax.grad(loss_fused)(params)
+    for (ks, vs), (kf, vf) in zip(
+            jax.tree_util.tree_flatten_with_path(g_s)[0],
+            jax.tree_util.tree_flatten_with_path(g_f)[0]):
+        assert ks == kf
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vs), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(ks))
+
+
+def test_fold_labels_up2x_matches_logit_fold(rng):
+    labels = jnp.asarray(rng.integers(0, NCLS, (B, H, W)), jnp.int32)
+    from ess_tpu.train.losses import fold_labels_up2x
+    ref = fold_logits_up2x(labels[..., None].astype(jnp.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fold_labels_up2x(labels)),
+        np.asarray(ref[..., 0]).astype(np.int32))
