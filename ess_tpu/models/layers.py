@@ -600,6 +600,36 @@ def _gaussian_init(stddev: float = 0.02):
     return nn.initializers.normal(stddev=stddev)
 
 
+class _PointwiseConv(nn.Module):
+    """1x1 conv evaluated as a last-dim matmul.
+
+    Parameter tree is identical to ``nn.Conv(features, (1, 1))``
+    ((1, 1, C_in, features) 'kernel' + 'bias'), so checkpoints interchange.
+    Why: XLA's TPU conv lowering imposes operand layouts on even a 1x1
+    conv — on the fused head's (B, h, w*4, C) logits pass it wraps the conv
+    in {3,0,2,1}<->{1,3,2,0} relayout copies (~1.3 ms each at DSEC scale,
+    x6 across the UDA step's passes + backward). A dot_general on the minor
+    dim carries no layout constraint."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features))
+        out = jax.lax.dot_general(
+            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class _UpFusedConv(nn.Module):
     """``conv_kxk(up2x_nearest(x))`` with the upsample folded into the
     weights (ops/conv_s2d.fold_up2x_into_conv) — output in s2d form

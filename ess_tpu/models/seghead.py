@@ -29,6 +29,7 @@ from ess_tpu.models.layers import (
     INSResBlock,
     ReLUINSConv2d,
     _BlockConv,
+    _PointwiseConv,
     skip_merge,
     upsample2x_nearest,
 )
@@ -158,8 +159,8 @@ class SegmentationHead(nn.Module):
                 x, up2x_fused=True)                    # (B, h, w, 4*C_s4)
             b, h, w, c4 = x.shape
             x = x.reshape(b, h, w * 4, c4 // 4)        # parity pseudo-pixels
-            return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                           name="logits")(x)
+            return _PointwiseConv(self.num_classes, dtype=self.dtype,
+                                  name="logits")(x)
         x = upsample2x_nearest(x)
         x = ReLUINSConv2d(tch // 8, dtype=self.dtype, name="s4")(x)
         # logits stay in compute dtype: the values are already bf16
