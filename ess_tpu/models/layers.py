@@ -385,17 +385,20 @@ class UpsampleConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        x = upsample2x_bilinear(x)
         blocked = (self.conv_impl == "auto" and self.kernel_size == 5
                    and self.norm is None and self.features < 128)
         if blocked:
-            from ess_tpu.ops.conv_s2d import depth_to_space, space_to_depth
+            from ess_tpu.ops.conv_s2d import depth_to_space, up2x_bilinear_s2d
 
+            # the bilinear upsample lands directly in s2d form at source
+            # resolution (fused shifted adds) — the full-resolution
+            # upsampled tensor and its space_to_depth relayout never exist
             x = _BlockConv(self.features, kernel_size=5, in_block=2,
                            use_bias=True, dtype=self.dtype,
-                           name="Conv_0")(space_to_depth(x))
+                           name="Conv_0")(up2x_bilinear_s2d(x))
             x = depth_to_space(x)
             return activation_fn(self.activation)(x)
+        x = upsample2x_bilinear(x)
         pad = self.kernel_size // 2
         x = nn.Conv(
             self.features,

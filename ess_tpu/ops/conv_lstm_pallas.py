@@ -219,160 +219,6 @@ def _halo_rows(a: jax.Array, th: int) -> jax.Array:
     return halo
 
 
-def _fused_kernel_bx(TH, W, WP, B, CX, CH, int8,
-                     x_blk, xh_blk, h_blk, hh_blk, c_blk, w_ref, sb_ref,
-                     sx_ref, hout_ref, cout_ref, V, F):
-    """Batch-unrolled body: one program per row-tile, all B processed
-    sequentially (see `_pallas_forward_bx`)."""
-    CIN = CX + CH
-
-    if int8:
-        inv_sx = sx_ref[0, 0]
-
-        def quant_x(v):
-            return jnp.clip(jnp.round(v.astype(jnp.float32) * inv_sx),
-                            -127, 127).astype(jnp.int8)
-
-        def quant_h(v):
-            return jnp.clip(jnp.round(v.astype(jnp.float32) * 127.0),
-                            -127, 127).astype(jnp.int8)
-    else:
-        quant_x = quant_h = lambda v: v
-
-    for b in range(B):  # static unroll: V/F are reused per batch element
-        V[0:1, :, 0:CX] = quant_x(xh_blk[0, 0:1, :, b])
-        V[1:TH + 1, :, 0:CX] = quant_x(x_blk[:, :, b])
-        V[TH + 1:TH + 2, :, 0:CX] = quant_x(xh_blk[0, 1:2, :, b])
-        V[0:1, :, CX:CIN] = quant_h(hh_blk[b, 0, 0:1])
-        V[1:TH + 1, :, CX:CIN] = quant_h(h_blk[b])
-        V[TH + 1:TH + 2, :, CX:CIN] = quant_h(hh_blk[b, 0, 1:2])
-        im2row_3x3(F, V[:], TH, W, CIN)
-        acc = jax.lax.dot_general(
-            F[:].reshape(TH * WP, 9 * CIN), w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if int8 else jnp.float32,
-        )
-        gates = (acc.astype(jnp.float32).reshape(TH, WP, 4 * CH)[:, :W, :]
-                 * sb_ref[0] + sb_ref[1])
-        i = gates[..., 0 * CH:1 * CH]
-        f = gates[..., 1 * CH:2 * CH]
-        o = gates[..., 2 * CH:3 * CH]
-        g = gates[..., 3 * CH:4 * CH]
-        cp = c_blk[b].astype(jnp.float32)
-        c_new = jax.nn.sigmoid(f) * cp + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        hout_ref[b] = h_new.astype(hout_ref.dtype)
-        cout_ref[b] = c_new.astype(cout_ref.dtype)
-
-
-def _halo_rows_hwbc(a: jax.Array, th: int) -> jax.Array:
-    """(H, W, B, C) -> (NT, 2, W, B, C): the :func:`_halo_rows` halos for
-    the transposed x operand of `_pallas_forward_bx`."""
-    H, W, B, C = a.shape
-    NT = H // th
-    v = a.reshape(NT, th, W, B, C)
-    halo = jnp.zeros((NT, 2, W, B, C), a.dtype)
-    if NT > 1:
-        halo = halo.at[1:, 0].set(v[:-1, th - 1])   # rows r0-1, it>=1
-        halo = halo.at[:-1, 1].set(v[1:, 0])        # rows r0+TH
-    return halo
-
-
-def _bx_vmem_bytes(B, th, W, WP, CX, CH, x_bytes, c_bytes, buf_bytes):
-    """Rough VMEM footprint of one `_pallas_forward_bx` program (double
-    -buffered grid-streamed operands + scratch)."""
-    ins = th * W * B * (x_bytes * CX + x_bytes * CH + c_bytes * CH)
-    outs = th * W * B * (x_bytes * CH + c_bytes * CH)
-    halos = 2 * 2 * W * B * (CX + CH) * x_bytes
-    scratch = (th + 2) * W * (CX + CH) * buf_bytes \
-        + th * WP * 9 * (CX + CH) * buf_bytes
-    return 2 * (ins + outs + halos) + scratch
-
-
-def _pallas_forward_bx(x, h_prev, c_prev, kernel, bias, *, th, interpret,
-                       int8=False):
-    """Batch-unrolled cell: grid (NT,), x passed LOGICALLY as (H, W, B, C).
-
-    Why: XLA's conv lowering emits x with physical layout {3,0,2,1} —
-    exactly (H, W, B, C) row-major bytes — while a Pallas operand is
-    constrained to the default layout of its logical shape. Consumed as
-    (B, H, W, C) that forced a transpose-class relayout copy in front of
-    every cell (measured 8.2 ms/step fused with the absmax at the DSEC L0
-    shape); consumed as (H, W, B, C) the transpose is a bitcast. Mosaic's
-    block rule (last two dims divisible by (8, 128) or equal to the array
-    dims) only admits full-(B, C) blocks of that shape, so the batch loop
-    moves INSIDE the kernel (static unroll, V/F scratch reused) — which
-    also cuts the per-program count 8x. h/c are this kernel's own outputs
-    and stay (B, H, W, C)."""
-    B, H, W, CX = x.shape
-    CH = h_prev.shape[-1]
-    CIN = CX + CH
-    NT = H // th
-    WP = _round_up(W, 32 if int8 else 16)
-
-    h_prev = h_prev.astype(x.dtype)
-    xt = jnp.transpose(x, (1, 2, 0, 3))     # bitcast of the conv layout
-    xhalo = _halo_rows_hwbc(xt, th)
-    hhalo = _halo_rows(h_prev, th)
-    if int8:
-        ax = jnp.max(jnp.abs(x), axis=(0, 1, 2))          # (CX,)
-        s_x = jnp.maximum(jnp.max(ax).astype(jnp.float32), 1e-8) / 127.0
-        wcat, ws = quantize_gate_weights(kernel, s_x, CX, CH)
-        sx2 = (1.0 / s_x).reshape(1, 1)
-        buf_dtype = jnp.int8
-    else:
-        wcat = prepare_gate_weights(kernel, x.dtype)
-        ws = jnp.ones((4 * CH,), jnp.float32)
-        sx2 = jnp.ones((1, 1), jnp.float32)
-        buf_dtype = x.dtype
-    sb = jnp.stack([ws, bias.astype(jnp.float32)])           # (2, 4*CH)
-
-    kern = functools.partial(_fused_kernel_bx, th, W, WP, B, CX, CH, int8)
-    vmem = pltpu.VMEM
-    h_new, c_new = pl.pallas_call(
-        kern,
-        grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((th, W, B, CX), lambda it: (it, 0, 0, 0),
-                         memory_space=vmem),                 # x (H,W,B,C)
-            pl.BlockSpec((1, 2, W, B, CX), lambda it: (it, 0, 0, 0, 0),
-                         memory_space=vmem),                 # x halos
-            pl.BlockSpec((B, th, W, CH), lambda it: (0, it, 0, 0),
-                         memory_space=vmem),                 # h
-            pl.BlockSpec((B, 1, 2, W, CH), lambda it: (0, it, 0, 0, 0),
-                         memory_space=vmem),                 # h halos
-            pl.BlockSpec((B, th, W, CH), lambda it: (0, it, 0, 0),
-                         memory_space=vmem),                 # c_prev
-            pl.BlockSpec((9 * CIN, 4 * CH), lambda it: (0, 0),
-                         memory_space=vmem),                 # im2row weights
-            pl.BlockSpec((2, 4 * CH), lambda it: (0, 0),
-                         memory_space=vmem),                 # scale + bias
-            pl.BlockSpec((1, 1), lambda it: (0, 0),
-                         memory_space=pltpu.SMEM),           # 1/s_x
-        ],
-        out_specs=(
-            pl.BlockSpec((B, th, W, CH), lambda it: (0, it, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((B, th, W, CH), lambda it: (0, it, 0, 0),
-                         memory_space=vmem),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, W, CH), h_prev.dtype),
-            jax.ShapeDtypeStruct((B, H, W, CH), c_prev.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, W, CIN), buf_dtype),      # V
-            pltpu.VMEM((th, WP, 9 * CIN), buf_dtype),     # im2row buffer
-        ],
-        input_output_aliases={2: 0, 4: 1},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=127 * 1024 * 1024),
-        interpret=interpret,
-    )(xt, xhalo, h_prev, hhalo, c_prev, wcat, sb, sx2)
-    return h_new, c_new
-
-
 def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret,
                     int8=False):
     B, H, W, CX = x.shape
@@ -449,22 +295,8 @@ def _pallas_forward(x, h_prev, c_prev, kernel, bias, *, th, interpret,
 def _make_fused(th: int, interpret: bool, int8: bool = False):
     @jax.custom_vjp
     def fused(x, h_prev, c_prev, kernel, bias):
-        B, H, W, CX = x.shape
-        CH = h_prev.shape[-1]
-        WP = _round_up(W, 32 if int8 else 16)
-        est = _bx_vmem_bytes(
-            B, th, W, WP, CX, CH, jnp.dtype(x.dtype).itemsize,
-            jnp.dtype(c_prev.dtype).itemsize,
-            1 if int8 else jnp.dtype(x.dtype).itemsize)
-        # bx is OPT-IN (ESS_LSTM_BX=1): the batch-unrolled body makes the
-        # axon remote compiler extremely slow (>25 min at the DSEC shapes,
-        # r4) — unmeasured on real hardware until a compile completes
-        import os
-        use_bx = ((interpret or os.environ.get("ESS_LSTM_BX") == "1")
-                  and est < 110 * 1024 * 1024)  # interpret: test coverage
-        fwd = _pallas_forward_bx if use_bx else _pallas_forward
-        return fwd(x, h_prev, c_prev, kernel, bias,
-                   th=th, interpret=interpret, int8=int8)
+        return _pallas_forward(x, h_prev, c_prev, kernel, bias,
+                               th=th, interpret=interpret, int8=int8)
 
     def fwd(x, h_prev, c_prev, kernel, bias):
         return fused(x, h_prev, c_prev, kernel, bias), (

@@ -169,6 +169,38 @@ def segment_input_perm(bi: int, segments: tuple) -> np.ndarray:
     return perm
 
 
+def up2x_bilinear_s2d(x: jax.Array) -> jax.Array:
+    """``s2d(upsample2x_bilinear(x))`` computed at SOURCE resolution.
+
+    torch-style half-pixel bilinear 2x (align_corners=False) writes output
+    parity r from exactly two input rows: ``out[2i] = 0.25 x[i-1] +
+    0.75 x[i]`` and ``out[2i+1] = 0.75 x[i] + 0.25 x[i+1]`` (edge-clamped),
+    separably per axis — so each of the four s2d subchannels is a weighted
+    sum of (edge-replicated) shifts of ``x``. This replaces the decoder
+    chain's full-resolution bilinear materialization + space_to_depth
+    relayout (both full-size copies) with fused elementwise passes at
+    quarter the data. Channel order matches :func:`space_to_depth`:
+    ``(r*2 + s)*C + c``. Exact vs
+    ``space_to_depth(upsample2x_bilinear(x))`` including borders (the
+    replicate pad reproduces the resize's edge clamp).
+    """
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    def sh(dy, dx):
+        return xp[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
+
+    r0 = 0.25 * sh(-1, 0) + 0.75 * x          # row parity 0
+    r1 = 0.75 * x + 0.25 * sh(1, 0)           # row parity 1
+    xp0 = jnp.pad(r0, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    xp1 = jnp.pad(r1, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    p00 = 0.25 * xp0[:, :, :w] + 0.75 * r0
+    p01 = 0.75 * r0 + 0.25 * xp0[:, :, 2:]
+    p10 = 0.25 * xp1[:, :, :w] + 0.75 * r1
+    p11 = 0.75 * r1 + 0.25 * xp1[:, :, 2:]
+    return jnp.concatenate([p00, p01, p10, p11], axis=-1)
+
+
 def tile_upsample2x_s2d(x: jax.Array) -> jax.Array:
     """Nearest-2x upsample emitted directly in s2d form — a channel tile.
 
