@@ -103,7 +103,7 @@ def make_batch(folded: bool = False):
         if folded:
             r2, v2, o = host_band_bin_folded(
                 raw[b], valid[b], height=SENSOR_H, width=SENSOR_W,
-                bins=BINS, trilinear=True)
+                bins=BINS, trilinear=True, x_slots=True)
         else:
             r2, v2, o = host_tile_bin(
                 raw[b], valid[b], height=SENSOR_H, width=SENSOR_W)

@@ -71,7 +71,7 @@ def make_event_batch(rng, b, t, n, sensor_h, sensor_w, label_hw, classes,
         if folded:
             r2, v2, o = host_band_bin_folded(
                 raw[i], valid[i], height=sensor_h, width=sensor_w,
-                trilinear=not int_coords)
+                trilinear=not int_coords, x_slots=True)
         else:
             r2, v2, o = host_tile_bin(
                 raw[i], valid[i], height=sensor_h, width=sensor_w)

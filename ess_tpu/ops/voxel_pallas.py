@@ -282,6 +282,120 @@ def _kernel(offs_ref, ev_ref, *refs,
                            + s_nz * (lane == 2)).astype(jnp.float32)
 
 
+def _kernel_slotted(offs_ref, ev_ref, *refs,
+                    bins: int, row_gap: int, rows: int, n_sub: int,
+                    slot_w: int, width_total: int, chunk: int, oh_dtype,
+                    stats_rows: int = 0):
+    """Pre-folded mode with per-x-slot dots (host_band_bin_folded
+    x_slots=True).
+
+    Same accumulator-is-the-grid contract as the pre-folded branch of
+    :func:`_kernel`, but events arrive sub-sorted by (band, x-slot) with
+    slot-boundary crossings host-ghosted, so each slot's events dot
+    against ONLY its TILE_W columns: the per-chunk matmul shrinks from
+    (rows, chunk) x (chunk, padded_width) to (rows, chunk) x
+    (chunk, TILE_W) — 5x fewer MXU FLOPs and ~5x less column-plane VPU
+    work at the DSEC shape (the dot was ~13 ms of the 26 ms kernel).
+    Chunks straddling a slot boundary are DMA'd (and their row plane
+    rebuilt) once per touching slot — foreign events zero out through the
+    globally-unique column positions exactly as in the halo kernel.
+    """
+    if stats_rows:
+        out_ref, stats_ref, buf, sems = refs
+    else:
+        out_ref, buf, sems = refs
+    b = pl.program_id(0)
+    band = pl.program_id(1)
+    g0 = band * n_sub
+
+    quant = oh_dtype == jnp.int8
+    plane_scale = INT8_SCALE if quant else 1.0
+    col_iota0 = (jax.lax.broadcasted_iota(jnp.int32, (slot_w, chunk), 0)
+                 .astype(jnp.float32) * plane_scale)
+    row_iota_f = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, chunk), 0).astype(jnp.float32)
+
+    # per-slot DMA state: each slot owns a private 2-deep ring and its
+    # FIRST chunk's DMA is issued before ANY slot computes — the first
+    # wait of slot xb then overlaps slots 0..xb-1's plane/dot work
+    # (a shared sequential ring stalled ~n_sub DMA latencies per program,
+    # which ate most of the dot savings — measured +7 w/s vs +30 expected)
+    slot_meta = []
+    for xb in range(n_sub):
+        start = offs_ref[b, g0 + xb]
+        end = offs_ref[b, g0 + xb + 1]
+        size = end - start
+        first_blk = start // chunk
+        last_blk = jnp.maximum(end - 1, start) // chunk
+        nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
+        slot_meta.append((first_blk, nblocks))
+
+    def dma(xb, blk_i, ring):
+        first_blk = slot_meta[xb][0]
+        return pltpu.make_async_copy(
+            ev_ref.at[b, first_blk + blk_i], buf.at[xb, ring],
+            sems.at[xb, ring])
+
+    for xb in range(n_sub):
+        @pl.when(0 < slot_meta[xb][1])
+        def _(xb=xb):
+            dma(xb, 0, 0).start()
+
+    s_sum = jnp.float32(0.0)
+    s_sq = jnp.float32(0.0)
+    s_nz = jnp.float32(0.0)
+    for xb in range(n_sub):  # static: one chunk loop + acc slab per slot
+        nblocks = slot_meta[xb][1]
+        # this slot's global column base (cx = band * width_total + x)
+        base = ((band * width_total + xb * slot_w).astype(jnp.float32)
+                * plane_scale)
+        col_iota_s = col_iota0 + base
+
+        def chunk_body(ci, acc, xb=xb, nblocks=nblocks,
+                       col_iota_s=col_iota_s):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < nblocks)
+            def _():
+                dma(xb, ci + 1, (ci + 1) % 2).start()
+
+            dma(xb, ci, slot).wait()
+            cx = buf[xb, slot, 0][None, :]
+            p0 = buf[xb, slot, 1][None, :]
+            s0 = buf[xb, slot, 2][None, :]
+            s1 = buf[xb, slot, 3][None, :]
+            ohc_t = jnp.maximum(0.0, plane_scale - jnp.abs(col_iota_s - cx))
+            d0 = row_iota_f - p0
+            ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
+                     + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
+            if quant:
+                prod = jax.lax.dot_general(
+                    jnp.round(ohr_t).astype(jnp.int8),
+                    jnp.round(ohc_t).astype(jnp.int8),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return acc + prod.astype(jnp.float32) * (
+                    1.0 / (INT8_SCALE * INT8_SCALE))
+            return acc + jax.lax.dot_general(
+                ohr_t.astype(oh_dtype), ohc_t.astype(oh_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(
+            0, nblocks, chunk_body, jnp.zeros((rows, slot_w), jnp.float32))
+        g = acc.astype(out_ref.dtype)
+        out_ref[0, 0, :, xb * slot_w:(xb + 1) * slot_w] = g
+        if stats_rows:
+            gv = g[:stats_rows].astype(jnp.float32)
+            s_sum = s_sum + jnp.sum(gv)
+            s_sq = s_sq + jnp.sum(gv * gv)
+            s_nz = s_nz + jnp.sum((gv != 0).astype(jnp.float32))
+    if stats_rows:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        stats_ref[0, 0] = (s_sum * (lane == 0) + s_sq * (lane == 1)
+                           + s_nz * (lane == 2)).astype(jnp.float32)
+
+
 def voxelize_tiled(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
@@ -658,7 +772,8 @@ def voxelize_trilinear_pallas(
 
 def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
                          bins: int = 5, trilinear: bool = True,
-                         capacity: Optional[int] = None):
+                         capacity: Optional[int] = None,
+                         x_slots: bool = False):
     """Host-side ghost-folding band binning for :func:`voxelize_folded`.
 
     (T, N, 4) raw (x, y, t, p) windows + validity -> (raw2 (T, N2, 4),
@@ -685,24 +800,28 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
     hp = ((height + th - 1) // th) * th
     n_bands = hp // th
     t_dim, n = raw_windows.shape[:2]
+    wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
+    ntx = wp // TILE_W if x_slots else 1
 
     if capacity is None:
         # ghosts only exist on the trilinear path (integer-coordinate
-        # temporal streams never cross a row block)
-        capacity = n + n // 8 + 8 if trilinear else n
+        # temporal streams never cross a row block); x-slot ghosts add
+        # ~1/TILE_W of the stream
+        capacity = n + n // 8 + n // 64 + 8 if trilinear else n
 
-    from ess_tpu.data import native
-    got = native.band_bin_folded(raw_windows, valid, height=height,
-                                 width=width, tile_h=th,
-                                 trilinear=trilinear, capacity=capacity)
-    if got is not None:
-        return got
+    if not x_slots:
+        from ess_tpu.data import native
+        got = native.band_bin_folded(raw_windows, valid, height=height,
+                                     width=width, tile_h=th,
+                                     trilinear=trilinear, capacity=capacity)
+        if got is not None:
+            return got
 
     n2 = capacity
 
     out = np.zeros((t_dim, n2, 4), np.float32)
     out_valid = np.zeros((t_dim, n2), bool)
-    offsets = np.zeros((t_dim, n_bands + 1), np.int32)
+    offsets = np.zeros((t_dim, n_bands * ntx + 1), np.int32)
     for i in range(t_dim):
         w = raw_windows[i]
         x = w[:, 0].astype(np.float64)
@@ -746,8 +865,31 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
             y = np.concatenate([y, gy])
             t = np.concatenate([t, gt])
             p = np.concatenate([p, gp])
+            if x_slots:
+                # x-slot boundary split (columns are the same bilinear
+                # tent as rows): an event whose RIGHT corner lands exactly
+                # on a TILE_W multiple splits into the left corner at the
+                # exact integer column (weight folded) plus a ghost on the
+                # next slot's first column — afterwards no tent crosses a
+                # slot, so the kernel's per-slot dots need only TILE_W
+                # columns instead of the padded sensor width
+                fx = x - np.floor(x)
+                xr = np.floor(x) + 1.0
+                bm = (fx > 0) & (np.mod(xr, TILE_W) == 0) & (xr <= width - 1)
+                gx2, gy2, gt2 = xr[bm], y[bm], t[bm]
+                gp2 = p[bm] * fx[bm]
+                p[bm] *= 1.0 - fx[bm]
+                x[bm] = np.floor(x[bm])
+                x = np.concatenate([x, gx2])
+                y = np.concatenate([y, gy2])
+                t = np.concatenate([t, gt2])
+                p = np.concatenate([p, gp2])
         band = np.clip((y // th).astype(np.int64), 0, n_bands - 1)
-        order = np.argsort(band, kind="stable")
+        group = band
+        if x_slots:
+            slot = np.clip((x // TILE_W).astype(np.int64), 0, ntx - 1)
+            group = band * ntx + slot
+        order = np.argsort(group, kind="stable")
         m = len(order)
         assert m <= n2, (m, n2, "raise capacity: pathological event "
                          "distribution produced more ghosts than margin")
@@ -757,7 +899,7 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
         out[i, :m, 3] = p[order]
         out_valid[i, :m] = True
         offsets[i] = np.searchsorted(
-            band[order], np.arange(n_bands + 1)).astype(np.int32)
+            group[order], np.arange(n_bands * ntx + 1)).astype(np.int32)
     return out, out_valid, offsets
 
 
@@ -858,20 +1000,39 @@ def voxelize_folded(
             (1, 1, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
         out_shapes = [out_shapes, jax.ShapeDtypeStruct(
             (b, n_bands, 8, 128), jnp.float32)]
+    # offsets width decides the kernel: n_bands + 1 entries = the legacy
+    # full-width dot; n_bands * ntx + 1 = per-x-slot dots (x_slots binning)
+    n_groups = offsets.shape[1] - 1
+    ntx = n_groups // n_bands
+    assert n_groups == n_bands * ntx and width % ntx == 0, (
+        offsets.shape, n_bands, width)
+    if ntx > 1:
+        assert width // ntx == TILE_W, (width, ntx)
+        kern = functools.partial(
+            _kernel_slotted, bins=bins, row_gap=th, rows=rows_pad,
+            n_sub=ntx, slot_w=TILE_W, width_total=width, chunk=chunk,
+            oh_dtype=oh_dtype, stats_rows=rows if want_stats else 0)
+        scratch = [
+            pltpu.VMEM((ntx, 2, 4, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((ntx, 2)),
+        ]
+    else:
+        kern = functools.partial(
+            _kernel, bins=bins, row_gap=th, rows=rows_pad,
+            k_tiles=1, col_slot=width, chunk=chunk, oh_dtype=oh_dtype,
+            stats_rows=rows if want_stats else 0)
+        scratch = [
+            pltpu.VMEM((N_BUF, 4, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ]
     out = pl.pallas_call(
-        functools.partial(_kernel, bins=bins, row_gap=th, rows=rows_pad,
-                          k_tiles=1, col_slot=width, chunk=chunk,
-                          oh_dtype=oh_dtype,
-                          stats_rows=rows if want_stats else 0),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((N_BUF, 4, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((N_BUF,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(

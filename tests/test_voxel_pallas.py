@@ -322,7 +322,7 @@ def test_pipeline_int8_voxel_dtype(rng):
 
 
 def _folded_args(rng, b=2, n=700, h=24, w=256, float_coords=True,
-                 pad_from=600, bins=5):
+                 pad_from=600, bins=5, x_slots=False):
     """Raw SoA events + the host ghost-folded band binning of the same."""
     from ess_tpu.ops.voxel_pallas import host_band_bin_folded
 
@@ -334,7 +334,7 @@ def _folded_args(rng, b=2, n=700, h=24, w=256, float_coords=True,
     for i in range(b):
         r2, v2, o2 = host_band_bin_folded(
             raw[i][None], valid[i][None], height=h, width=w, bins=bins,
-            trilinear=float_coords)
+            trilinear=float_coords, x_slots=x_slots)
         fr.append(r2[0]); fv.append(v2[0]); fo.append(o2[0])
     fr, fv, fo = np.stack(fr), np.stack(fv), np.stack(fo)
     folded = [jnp.asarray(fr[..., 0]), jnp.asarray(fr[..., 1]),
@@ -634,3 +634,45 @@ def test_supervised_step_folded_resize_matches_tile(rng):
     lb, lt = float(out_band["loss"]), float(out_tile["loss"])
     assert np.isfinite(lb) and np.isfinite(lt)
     np.testing.assert_allclose(lb, lt, rtol=1e-4)
+
+
+def test_pallas_folded_x_slots_parity(rng):
+    """x-slot mode (host_band_bin_folded x_slots=True): slot-boundary
+    crossings are host-ghosted and the kernel dots per TILE_W slot
+    (_kernel_slotted) — must reproduce the scatter reference exactly, and
+    the kernel-epilogue stats must match the legacy full-width mode."""
+    args, folded, offs = _folded_args(np.random.default_rng(6), x_slots=True)
+    assert offs.shape[-1] == 1 * 2 + 1  # 1 band (th=24) x 2 slots
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+    # the kernel-epilogue normalization stats feed the same normalized
+    # grid as the legacy full-width mode (exercises the per-slot stats
+    # accumulation end to end)
+    _, legacy, loffs = _folded_args(np.random.default_rng(6), x_slots=False)
+    kwn = dict(kw, normalize=True, oh_dtype=jnp.float32)
+    gn_s = voxelize_window_soa(*folded, use_pallas=True,
+                               pallas_interpret=True, tile_offsets=offs,
+                               offsets_kind="band", **kwn)
+    gn_l = voxelize_window_soa(*legacy, use_pallas=True,
+                               pallas_interpret=True, tile_offsets=loffs,
+                               offsets_kind="band", **kwn)
+    np.testing.assert_allclose(np.asarray(gn_s), np.asarray(gn_l),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_folded_x_slots_temporal(rng):
+    """Integer-coordinate streams under x-slot grouping (no ghosts, slot
+    sort only) match the scatter reference."""
+    args, folded, offs = _folded_args(rng, float_coords=False, x_slots=True)
+    kw = dict(num_bins=5, height=24, width=256, trilinear=False)
+    ref = voxelize_window_soa(*args, use_pallas=False, **kw)
+    got = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
