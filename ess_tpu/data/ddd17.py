@@ -150,7 +150,7 @@ class DDD17Events:
                 raw, valid, offsets = host_band_bin_folded(
                     raw, valid, height=SENSOR_SHAPE[0],
                     width=SENSOR_SHAPE[1], bins=self.tile_bins,
-                    trilinear=False)
+                    trilinear=False, x_slots=True)
                 out.update(raw_events=raw, valid=valid,
                            band_offsets=offsets)
             else:

@@ -168,7 +168,7 @@ class DSECSequence:
         if self.binning == "folded":
             raw, valid, offsets = host_band_bin_folded(
                 raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
-                bins=self.tile_bins, trilinear=True)
+                bins=self.tile_bins, trilinear=True, x_slots=True)
             return {"raw_events": raw, "valid": valid,
                     "band_offsets": offsets}
         raw, valid, offsets = host_tile_bin(
@@ -205,7 +205,7 @@ class DSECSequence:
         if self.binning == "folded":
             got = native.ingest_rectify_bin_folded(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
-                tile_h=th)
+                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128)
             if got is None:
                 return None
             raw, valid, offsets = got
@@ -237,7 +237,7 @@ class DSECSequence:
         if self.binning == "folded":
             got = native.ingest_rectify_bin_folded(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
-                tile_h=th)
+                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128)
             if got is None:
                 return None
             raw, valid, offsets = got

@@ -68,11 +68,11 @@ def _build() -> Optional[ctypes.CDLL]:
         u16p, u16p, u16p, u8p, i32p, i64p, i32p, i32p]
     cdll.band_bin_folded_f32.argtypes = [
         f32p, u8p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
-        ctypes.c_int, f32p, u8p, i32p, i64p, f32p, i32p]
+        ctypes.c_int, c_i64, c_i64, f32p, u8p, i32p, i64p, f32p, i32p]
     cdll.band_bin_folded_f32.restype = c_i64
     cdll.ingest_rectify_bin_folded.argtypes = [
         u16p, u16p, i64p, u8p, i64p, i64p, c_i64, c_i64, c_i64,
-        f32p, c_i64, c_i64, c_i64, c_i64,
+        f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
         f32p, u8p, i32p, i64p, f32p, i32p]
     cdll.ingest_rectify_bin_folded.restype = c_i64
     return cdll
@@ -314,14 +314,16 @@ def pad_windows_ddd17(
 
 def folded_capacity(n: int) -> int:
     """Default record capacity for ghost-folded binning: ghosts are bounded
-    by the events in each band's last row (~1/tile_h of a uniform stream);
-    the 1/8 + 8 margin covers heavy spatial skew with room to spare."""
-    return n + n // 8 + 8
+    by the events in each band's last row (~1/tile_h of a uniform stream)
+    plus the x-slot boundary columns (~1/TILE_W); the margins cover heavy
+    spatial skew with room to spare."""
+    return n + n // 8 + n // 64 + 8
 
 
 def band_bin_folded(
     raw_windows: np.ndarray, valid: np.ndarray, *, height: int, width: int,
     tile_h: int, trilinear: bool = True, capacity: Optional[int] = None,
+    ntx: int = 1, slot_w: int = 128,
 ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Ghost-folded band counting sort of (T, N, 4) raw windows (the
     fold-free Pallas kernel's input contract — ops/voxel_pallas.py
@@ -338,17 +340,18 @@ def band_bin_folded(
     cap2 = capacity if capacity is not None else folded_capacity(n)
     ev = np.ascontiguousarray(raw_windows, np.float32)
     vd = np.ascontiguousarray(valid, np.uint8)
+    n_groups = n_bands * ntx
     while True:
         out = np.empty((t_dim, cap2, 4), np.float32)
         out_valid = np.empty((t_dim, cap2), np.uint8)
-        offsets = np.empty((t_dim, n_bands + 1), np.int32)
-        counts = np.empty(n_bands, np.int64)
-        rec_scratch = np.empty((2 * n, 4), np.float32)
-        band_scratch = np.empty(2 * n, np.int32)
+        offsets = np.empty((t_dim, n_groups + 1), np.int32)
+        counts = np.empty(n_groups, np.int64)
+        rec_scratch = np.empty((4 * n, 4), np.float32)
+        band_scratch = np.empty(4 * n, np.int32)
         needed = lib.band_bin_folded_f32(
             ev, vd, t_dim, n, cap2, height, width, tile_h, n_bands,
-            1 if trilinear else 0, out, out_valid, offsets, counts,
-            rec_scratch, band_scratch)
+            1 if trilinear else 0, ntx, slot_w, out, out_valid, offsets,
+            counts, rec_scratch, band_scratch)
         if needed <= cap2:
             return out, out_valid.astype(bool), offsets
         cap2 = int(needed)
@@ -358,6 +361,7 @@ def ingest_rectify_bin_folded(
     ev: dict, starts: np.ndarray, ends: np.ndarray, capacity: int,
     rectify_map: np.ndarray, *, tile_h: int,
     out_capacity: Optional[int] = None,
+    ntx: int = 1, slot_w: int = 128,
 ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Fused DSEC ingest, folded variant: rectify + per-window time re-zero
     + ghost-folded band binning in ONE pass over the raw h5 columns. Same
@@ -377,19 +381,21 @@ def ingest_rectify_bin_folded(
     rmap = np.ascontiguousarray(rectify_map, np.float32)
     cap2 = out_capacity if out_capacity is not None else folded_capacity(
         capacity)
+    n_groups = n_bands * ntx
     while True:
         out = np.empty((t_dim, cap2, 4), np.float32)
         out_valid = np.empty((t_dim, cap2), np.uint8)
-        offsets = np.empty((t_dim, n_bands + 1), np.int32)
-        counts = np.empty(n_bands, np.int64)
-        rec_scratch = np.empty((2 * capacity, 4), np.float32)
-        band_scratch = np.empty(2 * capacity, np.int32)
+        offsets = np.empty((t_dim, n_groups + 1), np.int32)
+        counts = np.empty(n_groups, np.int64)
+        rec_scratch = np.empty((4 * capacity, 4), np.float32)
+        band_scratch = np.empty(4 * capacity, np.int32)
         needed = lib.ingest_rectify_bin_folded(
             x, y, t, p,
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(ends, np.int64),
-            t_dim, capacity, cap2, rmap, mh, mw, tile_h, n_bands,
-            out, out_valid, offsets, counts, rec_scratch, band_scratch)
+            t_dim, capacity, cap2, rmap, mh, mw, tile_h, n_bands, ntx,
+            slot_w, out, out_valid, offsets, counts, rec_scratch,
+            band_scratch)
         if needed <= cap2:
             return out, out_valid.astype(bool), offsets
         cap2 = int(needed)

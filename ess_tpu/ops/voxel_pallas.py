@@ -809,13 +809,13 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
         # ~1/TILE_W of the stream
         capacity = n + n // 8 + n // 64 + 8 if trilinear else n
 
-    if not x_slots:
-        from ess_tpu.data import native
-        got = native.band_bin_folded(raw_windows, valid, height=height,
-                                     width=width, tile_h=th,
-                                     trilinear=trilinear, capacity=capacity)
-        if got is not None:
-            return got
+    from ess_tpu.data import native
+    got = native.band_bin_folded(raw_windows, valid, height=height,
+                                 width=width, tile_h=th,
+                                 trilinear=trilinear, capacity=capacity,
+                                 ntx=ntx, slot_w=TILE_W)
+    if got is not None:
+        return got
 
     n2 = capacity
 

@@ -490,7 +490,8 @@ void ingest_rectify_bin_packed(
 static inline int fold_one_f32(float x, float y, float t, float pw,
                                float fw, float fh, int32_t th,
                                int32_t n_bands, int trilinear,
-                               float* rec, int32_t* bands) {
+                               int32_t ntx, int32_t slot_w,
+                               float* rec, int32_t* groups) {
   if (trilinear) {
     if (x < 0.f) { pw *= 1.f + x; x = 0.f; }
     else if (x > fw - 1.f) { pw *= fw - x; x = fw - 1.f; }
@@ -499,23 +500,52 @@ static inline int fold_one_f32(float x, float y, float t, float pw,
   }
   int32_t band = static_cast<int32_t>(y) / th;
   if (band > n_bands - 1) band = n_bands - 1;
-  int nrec = 0;
+  // band-boundary split (rows) into a local staging pair
+  float sx[2], sy[2], sp[2];
+  int32_t sband[2];
+  int nb = 0;
   if (trilinear) {
     const float yl = y - static_cast<float>(band * th);
     const float frac = yl - static_cast<float>(th - 1);
     if (frac > 0.f && band + 1 < n_bands) {
-      rec[0] = x; rec[1] = static_cast<float>((band + 1) * th);
-      rec[2] = t; rec[3] = pw * frac;
-      bands[0] = band + 1;
-      ++nrec;
-      rec += 4;
+      sx[nb] = x; sy[nb] = static_cast<float>((band + 1) * th);
+      sp[nb] = pw * frac; sband[nb] = band + 1;
+      ++nb;
       pw *= static_cast<float>(th) - yl;
       y = static_cast<float>(band * th + (th - 1));
     }
   }
-  rec[0] = x; rec[1] = y; rec[2] = t; rec[3] = pw;
-  bands[nrec] = band;
-  return nrec + 1;
+  sx[nb] = x; sy[nb] = y; sp[nb] = pw; sband[nb] = band;
+  ++nb;
+  // x-slot boundary split (columns): same bilinear tent as rows — the
+  // right corner landing exactly on a slot_w multiple becomes a ghost on
+  // the next slot's first column (ntx == 1 keeps legacy band grouping)
+  int nrec = 0;
+  for (int k = 0; k < nb; ++k) {
+    float xx = sx[k];
+    float pp = sp[k];
+    if (trilinear && ntx > 1) {
+      const float xf = std::floor(xx);
+      const float fx = xx - xf;
+      const float xr = xf + 1.f;
+      const int32_t xri = static_cast<int32_t>(xr);
+      if (fx > 0.f && (xri % slot_w) == 0 && xr <= fw - 1.f) {
+        rec[nrec * 4 + 0] = xr; rec[nrec * 4 + 1] = sy[k];
+        rec[nrec * 4 + 2] = t;  rec[nrec * 4 + 3] = pp * fx;
+        groups[nrec] = sband[k] * ntx + xri / slot_w;
+        ++nrec;
+        pp *= 1.f - fx;
+        xx = xf;
+      }
+    }
+    int32_t slot = ntx > 1 ? static_cast<int32_t>(xx) / slot_w : 0;
+    if (slot > ntx - 1) slot = ntx - 1;
+    rec[nrec * 4 + 0] = xx; rec[nrec * 4 + 1] = sy[k];
+    rec[nrec * 4 + 2] = t;  rec[nrec * 4 + 3] = pp;
+    groups[nrec] = sband[k] * ntx + slot;
+    ++nrec;
+  }
+  return nrec;
 }
 
 static inline void band_sort_write_f32(
@@ -547,9 +577,10 @@ static inline void band_sort_write_f32(
 int64_t band_bin_folded_f32(
     const float* ev, const uint8_t* valid, int64_t T, int64_t n,
     int64_t cap2, int64_t height, int64_t width, int64_t tile_h,
-    int64_t n_bands, int trilinear,
+    int64_t n_bands, int trilinear, int64_t ntx, int64_t slot_w,
     float* out, uint8_t* out_valid, int32_t* offsets,
     int64_t* counts, float* rec_scratch, int32_t* band_scratch) {
+  const int64_t n_groups = n_bands * ntx;
   const float fw = static_cast<float>(width);
   const float fh = static_cast<float>(height);
   const int32_t th = static_cast<int32_t>(tile_h);
@@ -573,12 +604,14 @@ int64_t band_bin_folded_f32(
       const float pw = src[i * 4 + 3] > 0.f ? 1.f : -1.f;
       m += fold_one_f32(x, y, src[i * 4 + 2], pw, fw, fh, th,
                         static_cast<int32_t>(n_bands), trilinear,
+                        static_cast<int32_t>(ntx),
+                        static_cast<int32_t>(slot_w),
                         rec_scratch + m * 4, band_scratch + m);
     }
     if (m > max_needed) max_needed = m;
-    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_bands,
+    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_groups,
                         out + wi * cap2 * 4, out_valid + wi * cap2,
-                        offsets + wi * (n_bands + 1), counts);
+                        offsets + wi * (n_groups + 1), counts);
   }
   return max_needed;
 }
@@ -590,9 +623,10 @@ int64_t ingest_rectify_bin_folded(
     const uint16_t* x, const uint16_t* y, const int64_t* t, const uint8_t* p,
     const int64_t* starts, const int64_t* ends, int64_t T, int64_t cap,
     int64_t cap2, const float* map, int64_t mh, int64_t mw,
-    int64_t tile_h, int64_t n_bands,
+    int64_t tile_h, int64_t n_bands, int64_t ntx, int64_t slot_w,
     float* out, uint8_t* out_valid, int32_t* offsets,
     int64_t* counts, float* rec_scratch, int32_t* band_scratch) {
+  const int64_t n_groups = n_bands * ntx;
   const float fw = static_cast<float>(mw);
   const float fh = static_cast<float>(mh);
   const int32_t th = static_cast<int32_t>(tile_h);
@@ -614,12 +648,14 @@ int64_t ingest_rectify_bin_folded(
       const float pw = p[srci] > 0 ? 1.f : -1.f;
       m += fold_one_f32(rx, ry, static_cast<float>(t[srci] - t0), pw,
                         fw, fh, th, static_cast<int32_t>(n_bands), 1,
+                        static_cast<int32_t>(ntx),
+                        static_cast<int32_t>(slot_w),
                         rec_scratch + m * 4, band_scratch + m);
     }
     if (m > max_needed) max_needed = m;
-    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_bands,
+    band_sort_write_f32(rec_scratch, band_scratch, m, cap2, n_groups,
                         out + wi * cap2 * 4, out_valid + wi * cap2,
-                        offsets + wi * (n_bands + 1), counts);
+                        offsets + wi * (n_groups + 1), counts);
   }
   return max_needed;
 }
