@@ -71,6 +71,10 @@ class DSECSequence:
         # the packed u16 wire cannot carry pre-weighted fractional
         # polarities — folded binning requires the f32 wire
         self.binning = "tile" if wire_format == "packed" else binning
+        # sticky folded-record capacity: once a pathological sample grows
+        # past the default margin, every later sample in this sequence is
+        # binned at the same quantized level so batch shapes stay stable
+        self._folded_cap: Optional[int] = None
         self.delta_t_us = nr_events_data * delta_t_per_data * 1000
 
         ts_file = os.path.join(seq_path, "semantic", "timestamps.txt")
@@ -168,7 +172,9 @@ class DSECSequence:
         if self.binning == "folded":
             raw, valid, offsets = host_band_bin_folded(
                 raw, valid, height=SENSOR_HEIGHT, width=SENSOR_WIDTH,
-                bins=self.tile_bins, trilinear=True, x_slots=True)
+                bins=self.tile_bins, trilinear=True, x_slots=True,
+                capacity=self._folded_cap)
+            self._folded_cap = raw.shape[1]
             return {"raw_events": raw, "valid": valid,
                     "band_offsets": offsets}
         raw, valid, offsets = host_tile_bin(
@@ -205,10 +211,12 @@ class DSECSequence:
         if self.binning == "folded":
             got = native.ingest_rectify_bin_folded(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
-                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128)
+                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128,
+                out_capacity=self._folded_cap)
             if got is None:
                 return None
             raw, valid, offsets = got
+            self._folded_cap = raw.shape[1]
             return {"raw_events": raw, "valid": valid,
                     "band_offsets": offsets}
         return native.ingest_rectify_bin(
@@ -237,10 +245,12 @@ class DSECSequence:
         if self.binning == "folded":
             got = native.ingest_rectify_bin_folded(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
-                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128)
+                tile_h=th, ntx=-(-SENSOR_WIDTH // 128), slot_w=128,
+                out_capacity=self._folded_cap)
             if got is None:
                 return None
             raw, valid, offsets = got
+            self._folded_cap = raw.shape[1]
             return {"raw_events": raw, "valid": valid,
                     "band_offsets": offsets}
         return native.ingest_rectify_bin(

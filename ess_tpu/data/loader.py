@@ -37,12 +37,23 @@ def _collate(samples: list, out: Optional[Dict[str, np.ndarray]] = None
     hosts with slow page-zeroing (measured ~100 MB/s in this sandbox vs
     multi-GB/s warm memcpy) that is the difference between the collate
     being free and it dominating the loader.
+
+    Ghost-folded record batches ("band_offsets" present) may mix record
+    capacities when a pathological sample overflowed the default margin
+    and the binner grew it to the next quantized level — those keys pad
+    up to the batch max (zero records / False validity are inert in the
+    fold-free kernel), so collation never fails on capacity skew.
     """
+    folded = "band_offsets" in samples[0]
     if out is not None:
         for key in samples[0]:
             vals = [s[key] for s in samples]
             if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
                 dst = out[key]
+                if (folded and key in ("raw_events", "valid")
+                        and any(v.shape != dst.shape[1:] for v in vals)):
+                    out[key] = _stack_padded(vals)
+                    continue
                 for i, v in enumerate(vals):
                     dst[i] = v
             else:
@@ -51,10 +62,27 @@ def _collate(samples: list, out: Optional[Dict[str, np.ndarray]] = None
     result = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
-        result[key] = (np.stack(vals)
-                       if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0])
-                       else vals)
+        if not (isinstance(vals[0], np.ndarray) or np.isscalar(vals[0])):
+            result[key] = vals
+        elif (folded and key in ("raw_events", "valid")
+                and isinstance(vals[0], np.ndarray)
+                and len({v.shape for v in vals}) > 1):
+            result[key] = _stack_padded(vals)
+        else:
+            result[key] = np.stack(vals)
     return result
+
+
+def _stack_padded(vals: list) -> np.ndarray:
+    """np.stack of (T, cap[, 4]) arrays whose capacity axis (1) differs:
+    zero-pad each to the batch max. Used for ghost-folded record batches
+    where zero-weight padding records are inert by construction."""
+    cap = max(v.shape[1] for v in vals)
+    out = np.zeros((len(vals), vals[0].shape[0], cap) + vals[0].shape[2:],
+                   vals[0].dtype)
+    for i, v in enumerate(vals):
+        out[i, :, :v.shape[1]] = v
+    return out
 
 
 def _alloc_like(samples: list) -> Dict[str, np.ndarray]:

@@ -320,6 +320,19 @@ def folded_capacity(n: int) -> int:
     return n + n // 8 + n // 64 + 8
 
 
+def quantize_folded_capacity(needed: int, n: int) -> int:
+    """Deterministic capacity level for a folded-binning overflow: the next
+    multiple of the default margin step (n//8 + n//64 + 8) above
+    ``needed``. Quantizing keeps pathological samples on a SMALL set of
+    shared shapes (instead of per-sample ``needed`` values), so batch
+    collation pads to one common level and jit sees at most a handful of
+    record widths over a whole run (worst case is bounded: every event can
+    split into at most 4 records, so levels stop at ~4n)."""
+    base = max(folded_capacity(n) - n, 1)
+    over = needed - n
+    return n + -(-over // base) * base
+
+
 def band_bin_folded(
     raw_windows: np.ndarray, valid: np.ndarray, *, height: int, width: int,
     tile_h: int, trilinear: bool = True, capacity: Optional[int] = None,
@@ -354,7 +367,7 @@ def band_bin_folded(
             counts, rec_scratch, band_scratch)
         if needed <= cap2:
             return out, out_valid.astype(bool), offsets
-        cap2 = int(needed)
+        cap2 = quantize_folded_capacity(int(needed), n)
 
 
 def ingest_rectify_bin_folded(
@@ -398,4 +411,4 @@ def ingest_rectify_bin_folded(
             band_scratch)
         if needed <= cap2:
             return out, out_valid.astype(bool), offsets
-        cap2 = int(needed)
+        cap2 = quantize_folded_capacity(int(needed), capacity)

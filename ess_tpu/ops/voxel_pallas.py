@@ -819,9 +819,7 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
 
     n2 = capacity
 
-    out = np.zeros((t_dim, n2, 4), np.float32)
-    out_valid = np.zeros((t_dim, n2), bool)
-    offsets = np.zeros((t_dim, n_bands * ntx + 1), np.int32)
+    per_window = []
     for i in range(t_dim):
         w = raw_windows[i]
         x = w[:, 0].astype(np.float64)
@@ -890,16 +888,30 @@ def host_band_bin_folded(raw_windows, valid, *, height: int, width: int,
             slot = np.clip((x // TILE_W).astype(np.int64), 0, ntx - 1)
             group = band * ntx + slot
         order = np.argsort(group, kind="stable")
-        m = len(order)
-        assert m <= n2, (m, n2, "raise capacity: pathological event "
-                         "distribution produced more ghosts than margin")
-        out[i, :m, 0] = x[order]
-        out[i, :m, 1] = y[order]
-        out[i, :m, 2] = t[order]
-        out[i, :m, 3] = p[order]
+        per_window.append((x[order], y[order], t[order], p[order],
+                           group[order]))
+
+    # grow-and-retry semantics matching the native path: a pathological
+    # window (mass on band-boundary rows) overflows the default margin ->
+    # pad everything up to the next QUANTIZED capacity level so all
+    # windows (and batch peers) share one shape
+    needed = max((len(pw[0]) for pw in per_window), default=0)
+    if needed > n2:
+        from ess_tpu.data.native import quantize_folded_capacity
+        n2 = quantize_folded_capacity(needed, n)
+
+    out = np.zeros((t_dim, n2, 4), np.float32)
+    out_valid = np.zeros((t_dim, n2), bool)
+    offsets = np.zeros((t_dim, n_bands * ntx + 1), np.int32)
+    for i, (x, y, t, p, group) in enumerate(per_window):
+        m = len(x)
+        out[i, :m, 0] = x
+        out[i, :m, 1] = y
+        out[i, :m, 2] = t
+        out[i, :m, 3] = p
         out_valid[i, :m] = True
         offsets[i] = np.searchsorted(
-            group[order], np.arange(n_bands * ntx + 1)).astype(np.int32)
+            group, np.arange(n_bands * ntx + 1)).astype(np.int32)
     return out, out_valid, offsets
 
 

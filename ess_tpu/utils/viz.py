@@ -233,9 +233,9 @@ def disparity_rgb(disp_hw: np.ndarray, *, max_disp: float = 80.0) -> np.ndarray:
     mask = disp > 0
     norm = np.clip(disp / max_disp, 0.0, 1.0)
     try:
-        import matplotlib.cm as cm
-        rgb = cm.get_cmap("inferno")(norm)[..., :3]
-    except ImportError:  # pragma: no cover - matplotlib is baked in here
+        import matplotlib
+        rgb = matplotlib.colormaps["inferno"](norm)[..., :3]
+    except (ImportError, AttributeError, KeyError):  # pragma: no cover
         rgb = np.repeat(norm[..., None], 3, axis=-1)
     out = np.zeros(disp.shape + (3,), np.float64)
     out[mask] = rgb[mask]

@@ -278,3 +278,31 @@ def test_resize_align_corners_matches_torch(rng):
     got = np.asarray(resize_bilinear(jnp.asarray(x), 26, 35,
                                      align_corners=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_collate_pads_mixed_folded_capacity():
+    """Batch peers binned at different quantized folded-capacity levels
+    (one pathological sample grew mid-epoch) collate by zero-padding the
+    record axis to the batch max — for both the fresh-stack path and the
+    preallocated-ring path."""
+    from ess_tpu.data.loader import _alloc_like, _collate
+
+    t_dim, small, big = 3, 100, 150
+    def sample(cap):
+        return {
+            "raw_events": np.full((t_dim, cap, 4), 2.0, np.float32),
+            "valid": np.ones((t_dim, cap), bool),
+            "band_offsets": np.zeros((t_dim, 4), np.int32),
+            "label": np.zeros((8, 8), np.uint8),
+        }
+    batch = _collate([sample(small), sample(big)])
+    assert batch["raw_events"].shape == (2, t_dim, big, 4)
+    assert batch["valid"].shape == (2, t_dim, big)
+    assert not batch["valid"][0, :, small:].any()
+    assert (batch["raw_events"][0, :, small:] == 0).all()
+    assert (batch["raw_events"][1] == 2.0).all()
+
+    out = _alloc_like([sample(small), sample(small)])
+    batch2 = _collate([sample(small), sample(big)], out=out)
+    assert batch2["raw_events"].shape == (2, t_dim, big, 4)
+    assert batch2["valid"].shape == (2, t_dim, big)
