@@ -362,6 +362,15 @@ class _SyntheticDSEC:
         ev = {"x": self.xy[sl, 0], "y": self.xy[sl, 1],
               "t": self.ts[sl], "p": self.pol[sl]}
         starts = np.arange(t, dtype=np.int64) * n
+        if self.wire == "packed_folded":
+            # r5 default-capable wire: 7-byte quantized records + ghost-
+            # folded band bins (fold-free kernel) in one native pass
+            pk = native.ingest_rectify_bin_packed_folded(
+                ev, starts, starts + n, n, self.rectify_map,
+                tile_h=tile_h_for_bins(5), ntx=-(-self.w // 128), slot_w=128)
+            if pk is not None:
+                pk["label"] = self.label.astype(np.uint8)
+                return pk
         if self.wire == "packed":
             pk = native.ingest_rectify_bin_packed(
                 ev, starts, starts + n, n, self.rectify_map,
@@ -446,9 +455,9 @@ def bench_ingest_dsec(num_workers=None, wire="f32"):
     t0 = time.perf_counter()
     n_batches = run(4)
     dt = (time.perf_counter() - t0) / n_batches
-    print(f"DSEC supervised incl. host ingest ({num_workers} workers): "
-          f"{dt*1e3:.0f} ms/batch -> {b*t/dt:.0f} windows/s sustained",
-          flush=True)
+    print(f"DSEC supervised incl. host ingest ({num_workers} workers, "
+          f"wire={wire}): {dt*1e3:.0f} ms/batch -> {b*t/dt:.0f} windows/s "
+          f"sustained", flush=True)
 
     # loader-only rate for the breakdown
     loader = BatchLoader(ds, b, shuffle=True, num_workers=num_workers,
@@ -481,6 +490,7 @@ def main():
         bench_uda_dsec,
         bench_uda_ddd17,
         bench_streaming_eval,
+        lambda: bench_ingest_dsec(wire="packed_folded"),
         lambda: bench_ingest_dsec(wire="packed"),
     ]
     for s in scenarios:

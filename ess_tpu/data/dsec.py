@@ -68,9 +68,10 @@ class DSECSequence:
         self.tile_bin = tile_bin
         self.tile_bins = tile_bins  # kernel-effective bin count (tile height)
         self.wire_format = wire_format
-        # the packed u16 wire cannot carry pre-weighted fractional
-        # polarities — folded binning requires the f32 wire
-        self.binning = "tile" if wire_format == "packed" else binning
+        # packed + folded wire (r5): the ghost-folded records ship as
+        # quantized SoA columns with an i8 PRE-WEIGHTED polarity
+        # (native.ingest_rectify_bin_packed_folded) — no downgrade needed
+        self.binning = binning
         # sticky folded-record capacity: once a pathological sample grows
         # past the default margin, every later sample in this sequence is
         # binned at the same quantized level so batch shapes stay stable
@@ -205,6 +206,15 @@ class DSECSequence:
         ends = np.asarray(bounds[1:], np.int64) - lo
         th = tile_h_for_bins(self.tile_bins)
         if self.wire_format == "packed":
+            if self.binning == "folded":
+                got = native.ingest_rectify_bin_packed_folded(
+                    ev, starts, ends, self.nr_events_window,
+                    self.rectify_map, tile_h=th,
+                    ntx=-(-SENSOR_WIDTH // 128), slot_w=128,
+                    out_capacity=self._folded_cap)
+                if got is not None:
+                    self._folded_cap = got["ev_xq"].shape[1]
+                return got
             return native.ingest_rectify_bin_packed(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
                 tile_h=th)
@@ -239,6 +249,15 @@ class DSECSequence:
         ends = starts + per
         th = tile_h_for_bins(self.tile_bins)
         if packed:
+            if self.binning == "folded":
+                got = native.ingest_rectify_bin_packed_folded(
+                    ev, starts, ends, self.nr_events_window,
+                    self.rectify_map, tile_h=th,
+                    ntx=-(-SENSOR_WIDTH // 128), slot_w=128,
+                    out_capacity=self._folded_cap)
+                if got is not None:
+                    self._folded_cap = got["ev_xq"].shape[1]
+                return got
             return native.ingest_rectify_bin_packed(
                 ev, starts, ends, self.nr_events_window, self.rectify_map,
                 tile_h=th)

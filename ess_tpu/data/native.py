@@ -75,6 +75,12 @@ def _build() -> Optional[ctypes.CDLL]:
         f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
         f32p, u8p, i32p, i64p, f32p, i32p]
     cdll.ingest_rectify_bin_folded.restype = c_i64
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    cdll.ingest_rectify_bin_packed_folded.argtypes = [
+        u16p, u16p, i64p, u8p, i64p, i64p, c_i64, c_i64, c_i64,
+        f32p, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
+        u16p, u16p, u16p, i8p, i32p, i64p, f32p, i32p]
+    cdll.ingest_rectify_bin_packed_folded.restype = c_i64
     return cdll
 
 
@@ -255,6 +261,63 @@ def ingest_rectify_bin_packed(
         out_x, out_y, out_t, out_p, offsets, counts, q_scratch, tid_scratch)
     return {"ev_xq": out_x, "ev_yq": out_y, "ev_tq": out_t, "ev_pq": out_p,
             "tile_offsets": offsets}
+
+
+POL_SCALE = 127         # packed-folded wire: pre-weighted polarity in i8
+
+
+def ingest_rectify_bin_packed_folded(
+    ev: dict, starts: np.ndarray, ends: np.ndarray, capacity: int,
+    rectify_map: np.ndarray, *, tile_h: int,
+    out_capacity: Optional[int] = None,
+    ntx: int = 1, slot_w: int = 128,
+) -> Optional[dict]:
+    """Packed-wire variant of :func:`ingest_rectify_bin_folded`: the
+    ghost-folded band-sorted records emitted as quantized SoA columns
+    (x, y in 1/64 px u16; per-window-normalized t u16; PRE-WEIGHTED
+    polarity i8 in 1/127 steps) — 7 bytes/record on the host->device wire
+    instead of 16. Coordinates quantize to the 1/64 grid BEFORE folding,
+    so band/slot grouping and the device tents agree exactly; validity
+    derives from the band offsets. Returns
+    {"ev_xq","ev_yq","ev_tq","ev_pq": (T, cap2), "band_offsets"} or None
+    without the native library. Grows to the next quantized capacity
+    level on pathological-skew overflow (same policy as the f32 wire).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    mh, mw = rectify_map.shape[:2]
+    hp = -(-mh // tile_h) * tile_h
+    n_bands = hp // tile_h
+    t_dim = len(starts)
+    x = np.ascontiguousarray(ev["x"], np.uint16)
+    y = np.ascontiguousarray(ev["y"], np.uint16)
+    t = np.ascontiguousarray(ev["t"], np.int64)
+    p = np.ascontiguousarray(ev["p"], np.uint8)
+    rmap = np.ascontiguousarray(rectify_map, np.float32)
+    cap2 = out_capacity if out_capacity is not None else folded_capacity(
+        capacity)
+    n_groups = n_bands * ntx
+    while True:
+        out_x = np.empty((t_dim, cap2), np.uint16)
+        out_y = np.empty((t_dim, cap2), np.uint16)
+        out_t = np.empty((t_dim, cap2), np.uint16)
+        out_p = np.empty((t_dim, cap2), np.int8)
+        offsets = np.empty((t_dim, n_groups + 1), np.int32)
+        counts = np.empty(n_groups, np.int64)
+        rec_scratch = np.empty((4 * capacity, 4), np.float32)
+        band_scratch = np.empty(4 * capacity, np.int32)
+        needed = lib.ingest_rectify_bin_packed_folded(
+            x, y, t, p,
+            np.ascontiguousarray(starts, np.int64),
+            np.ascontiguousarray(ends, np.int64),
+            t_dim, capacity, cap2, rmap, mh, mw, tile_h, n_bands, ntx,
+            slot_w, out_x, out_y, out_t, out_p, offsets, counts,
+            rec_scratch, band_scratch)
+        if needed <= cap2:
+            return {"ev_xq": out_x, "ev_yq": out_y, "ev_tq": out_t,
+                    "ev_pq": out_p, "band_offsets": offsets}
+        cap2 = quantize_folded_capacity(int(needed), capacity)
 
 
 def pad_windows_from_bounds(

@@ -65,6 +65,11 @@ class PipelineConfig:
     # (double-rate MXU, 1/127-step corner weights — see
     # ops/voxel_pallas.voxelize_tiled)
     voxel_oh_dtype: str = "bfloat16"
+    # events per kernel DMA block. None = the mode default
+    # (ops/voxel_pallas.CHUNK for the halo kernel, FOLDED_CHUNK for the
+    # slotted fold-free kernel — per-(band, x-slot) groups average ~1.1k
+    # events at DSEC scale, so large blocks waste fill on group tails)
+    voxel_chunk: Optional[int] = None
 
     @property
     def _oh_dtype(self):
@@ -102,8 +107,9 @@ def to_soa(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """
     if "ev_xq" in batch:
         out = dict(batch)
-        if "tile_offsets" in out:
-            out["ev_tile_offsets"] = out.pop("tile_offsets")
+        for k in ("tile_offsets", "band_offsets"):
+            if k in out:
+                out["ev_" + k] = out.pop(k)
         return out
     out = {k: v for k, v in batch.items() if k not in ("raw_events", "valid")}
     raw = batch["raw_events"]
@@ -166,28 +172,36 @@ class EventPipeline:
     # -------------------- packed wire format --------------------
 
     def decode_packed(self, batch: dict) -> dict:
-        """Dequantize a packed-wire batch (native.ingest_rectify_bin_packed:
-        1/64-px u16 coords, per-window-normalized u16 time, u8 polarity,
-        validity implied by the tile offsets) into the standard ev_* form.
+        """Dequantize a packed-wire batch (native.ingest_rectify_bin_packed
+        or _packed_folded: 1/64-px u16 coords, per-window-normalized u16
+        time, polarity u8 — or i8 PRE-WEIGHTED in 1/127 steps for the
+        folded wire — validity implied by the offsets) into the standard
+        ev_* form.
 
         Runs on device inside the jit — one fused elementwise pass over the
         small u16 buffers. The time column arrives ALREADY normalized to
         [0, bins-1] (scaled), so the voxelizer skips its per-window min/max
         (``ev_t_prenormalized`` marker).
         """
-        from ess_tpu.data.native import COORD_SCALE, TIME_SCALE
+        from ess_tpu.data.native import COORD_SCALE, POL_SCALE, TIME_SCALE
 
         cfg = self.cfg
         xq = batch["ev_xq"]
         n = xq.shape[-1]
-        offs = batch["ev_tile_offsets"]
+        folded = "ev_band_offsets" in batch
+        offs = batch["ev_band_offsets" if folded else "ev_tile_offsets"]
         out = {k: v for k, v in batch.items()
                if k not in ("ev_xq", "ev_yq", "ev_tq", "ev_pq")}
         out["ev_x"] = xq.astype(jnp.float32) * (1.0 / COORD_SCALE)
         out["ev_y"] = batch["ev_yq"].astype(jnp.float32) * (1.0 / COORD_SCALE)
         out["ev_t"] = batch["ev_tq"].astype(jnp.float32) * (
             (cfg.num_bins - 1) / TIME_SCALE)
-        out["ev_p"] = batch["ev_pq"].astype(jnp.float32)
+        if folded:
+            # i8 pre-weighted polarity (edge/boundary fractions folded in)
+            out["ev_p"] = batch["ev_pq"].astype(jnp.float32) * (
+                1.0 / POL_SCALE)
+        else:
+            out["ev_p"] = batch["ev_pq"].astype(jnp.float32)
         count = offs[..., -1]            # valid events per window
         out["ev_valid"] = jnp.arange(n, dtype=jnp.int32) < count[..., None]
         out["ev_t_prenormalized"] = True
@@ -296,6 +310,7 @@ class EventPipeline:
                 pallas_interpret=cfg.pallas_interpret,
                 oh_dtype=cfg._oh_dtype,
                 t_prenormalized=t_prenormalized,
+                voxel_chunk=cfg.voxel_chunk,
             )
             return self._transform_grid(grids, aug)
 
@@ -392,6 +407,7 @@ class EventPipeline:
             offsets_kind=offsets_kind,
             resize_width_to=resize_width_to,
             resize_align_corners=cfg.resize_align_corners,
+            voxel_chunk=cfg.voxel_chunk,
         )
         aug = self.sample_augment(rng, b, train=train)
         if time_major:

@@ -168,6 +168,9 @@ def _fused_kernel(TH, W, WP, CX, CH, int8,
     # (dy, dx), so the whole conv is ONE deep matmul — the accumulator is
     # produced exactly once by the MXU (no per-tap partial-product
     # round-trips through VMEM, which dominated the 3-dot variant).
+    # (DEAD END, r5: building F with 9 async local DMAs instead — the dx
+    # taps are W-1-wide slices, and Mosaic requires DMA slice shapes
+    # aligned to the (8, 128) tiling, so the variant does not compile.)
     im2row_3x3(F, Vv, TH, W, CIN)
 
     acc = jax.lax.dot_general(

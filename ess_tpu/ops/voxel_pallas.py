@@ -47,6 +47,16 @@ TILE_W = 128
 CHUNK = 1024      # events per DMA block (sweep-tuned on v5e; 512-2048 are
                   # within noise of each other now that the kernel is pure
                   # plane-construction + MXU work)
+FOLDED_CHUNK = 1024   # slotted fold-free kernel block: per-(band, x-slot)
+                      # groups average ~1.1k events at DSEC scale, so the
+                      # tail/boundary fill loss depends on this — sweep via
+                      # PipelineConfig.voxel_chunk before changing (v5e
+                      # full-step: 1024/768/512 within noise, 256 regresses)
+FOLDED_BAND_PACK = 4  # consecutive bands per slotted-kernel program (cap;
+                      # the largest divisor of n_bands <= this is used) —
+                      # amortizes per-program fixed cost over more work.
+                      # v5e full-step sweep (r5): 1/2/4/5/10 -> 727.1/730.3/
+                      # 732.0/731.5/731.9 w/s; 4 is the knee
 K_TILES = 5       # max spatial tiles per program (sweep-tuned on v5e)
 COL_SLOT = TILE_W + 8   # per-tile column slot in the accumulator (128+halo+pad)
 
@@ -285,7 +295,7 @@ def _kernel(offs_ref, ev_ref, *refs,
 def _kernel_slotted(offs_ref, ev_ref, *refs,
                     bins: int, row_gap: int, rows: int, n_sub: int,
                     slot_w: int, width_total: int, chunk: int, oh_dtype,
-                    stats_rows: int = 0):
+                    stats_rows: int = 0, n_pack: int = 1):
     """Pre-folded mode with per-x-slot dots (host_band_bin_folded
     x_slots=True).
 
@@ -299,14 +309,20 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
     Chunks straddling a slot boundary are DMA'd (and their row plane
     rebuilt) once per touching slot — foreign events zero out through the
     globally-unique column positions exactly as in the halo kernel.
+
+    ``n_pack`` packs several consecutive bands into one grid program
+    (output block (1, n_pack, rows, width)): the per-program fixed cost
+    (grid dispatch, iota materialization, output flush) amortizes over
+    n_pack bands — at the DSEC shape the grid is (160, 20) = 3200
+    programs per step, so fixed overhead is a measurable slice of the
+    ~19 ms kernel.
     """
     if stats_rows:
         out_ref, stats_ref, buf, sems = refs
     else:
         out_ref, buf, sems = refs
     b = pl.program_id(0)
-    band = pl.program_id(1)
-    g0 = band * n_sub
+    band0 = pl.program_id(1) * n_pack
 
     quant = oh_dtype == jnp.int8
     plane_scale = INT8_SCALE if quant else 1.0
@@ -315,85 +331,90 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
     row_iota_f = jax.lax.broadcasted_iota(
         jnp.int32, (rows, chunk), 0).astype(jnp.float32)
 
-    # per-slot DMA state: each slot owns a private 2-deep ring and its
-    # FIRST chunk's DMA is issued before ANY slot computes — the first
-    # wait of slot xb then overlaps slots 0..xb-1's plane/dot work
+    # per-(band, slot) DMA state: each group owns a private 2-deep ring
+    # and its FIRST chunk's DMA is issued before ANY group computes — the
+    # first wait of group q then overlaps groups 0..q-1's plane/dot work
     # (a shared sequential ring stalled ~n_sub DMA latencies per program,
     # which ate most of the dot savings — measured +7 w/s vs +30 expected)
     slot_meta = []
-    for xb in range(n_sub):
-        start = offs_ref[b, g0 + xb]
-        end = offs_ref[b, g0 + xb + 1]
+    for q in range(n_pack * n_sub):
+        start = offs_ref[b, band0 * n_sub + q]
+        end = offs_ref[b, band0 * n_sub + q + 1]
         size = end - start
         first_blk = start // chunk
         last_blk = jnp.maximum(end - 1, start) // chunk
         nblocks = jnp.where(size > 0, last_blk - first_blk + 1, 0)
         slot_meta.append((first_blk, nblocks))
 
-    def dma(xb, blk_i, ring):
-        first_blk = slot_meta[xb][0]
+    def dma(q, blk_i, ring):
+        first_blk = slot_meta[q][0]
         return pltpu.make_async_copy(
-            ev_ref.at[b, first_blk + blk_i], buf.at[xb, ring],
-            sems.at[xb, ring])
+            ev_ref.at[b, first_blk + blk_i], buf.at[q, ring],
+            sems.at[q, ring])
 
-    for xb in range(n_sub):
-        @pl.when(0 < slot_meta[xb][1])
-        def _(xb=xb):
-            dma(xb, 0, 0).start()
+    for q in range(n_pack * n_sub):
+        @pl.when(0 < slot_meta[q][1])
+        def _(q=q):
+            dma(q, 0, 0).start()
 
-    s_sum = jnp.float32(0.0)
-    s_sq = jnp.float32(0.0)
-    s_nz = jnp.float32(0.0)
-    for xb in range(n_sub):  # static: one chunk loop + acc slab per slot
-        nblocks = slot_meta[xb][1]
-        # this slot's global column base (cx = band * width_total + x)
-        base = ((band * width_total + xb * slot_w).astype(jnp.float32)
-                * plane_scale)
-        col_iota_s = col_iota0 + base
+    for jb in range(n_pack):
+        band = band0 + jb
+        s_sum = jnp.float32(0.0)
+        s_sq = jnp.float32(0.0)
+        s_nz = jnp.float32(0.0)
+        for xb in range(n_sub):  # static: one chunk loop + acc slab per slot
+            q = jb * n_sub + xb
+            nblocks = slot_meta[q][1]
+            # this group's global column base (cx = band * width_total + x)
+            base = ((band * width_total + xb * slot_w).astype(jnp.float32)
+                    * plane_scale)
+            col_iota_s = col_iota0 + base
 
-        def chunk_body(ci, acc, xb=xb, nblocks=nblocks,
-                       col_iota_s=col_iota_s):
-            slot = ci % 2
+            def chunk_body(ci, acc, q=q, nblocks=nblocks,
+                           col_iota_s=col_iota_s):
+                slot = ci % 2
 
-            @pl.when(ci + 1 < nblocks)
-            def _():
-                dma(xb, ci + 1, (ci + 1) % 2).start()
+                @pl.when(ci + 1 < nblocks)
+                def _():
+                    dma(q, ci + 1, (ci + 1) % 2).start()
 
-            dma(xb, ci, slot).wait()
-            cx = buf[xb, slot, 0][None, :]
-            p0 = buf[xb, slot, 1][None, :]
-            s0 = buf[xb, slot, 2][None, :]
-            s1 = buf[xb, slot, 3][None, :]
-            ohc_t = jnp.maximum(0.0, plane_scale - jnp.abs(col_iota_s - cx))
-            d0 = row_iota_f - p0
-            ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
-                     + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
-            if quant:
-                prod = jax.lax.dot_general(
-                    jnp.round(ohr_t).astype(jnp.int8),
-                    jnp.round(ohc_t).astype(jnp.int8),
+                dma(q, ci, slot).wait()
+                cx = buf[q, slot, 0][None, :]
+                p0 = buf[q, slot, 1][None, :]
+                s0 = buf[q, slot, 2][None, :]
+                s1 = buf[q, slot, 3][None, :]
+                ohc_t = jnp.maximum(0.0,
+                                    plane_scale - jnp.abs(col_iota_s - cx))
+                d0 = row_iota_f - p0
+                ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
+                         + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
+                if quant:
+                    prod = jax.lax.dot_general(
+                        jnp.round(ohr_t).astype(jnp.int8),
+                        jnp.round(ohc_t).astype(jnp.int8),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    return acc + prod.astype(jnp.float32) * (
+                        1.0 / (INT8_SCALE * INT8_SCALE))
+                return acc + jax.lax.dot_general(
+                    ohr_t.astype(oh_dtype), ohc_t.astype(oh_dtype),
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                return acc + prod.astype(jnp.float32) * (
-                    1.0 / (INT8_SCALE * INT8_SCALE))
-            return acc + jax.lax.dot_general(
-                ohr_t.astype(oh_dtype), ohc_t.astype(oh_dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32)
 
-        acc = jax.lax.fori_loop(
-            0, nblocks, chunk_body, jnp.zeros((rows, slot_w), jnp.float32))
-        g = acc.astype(out_ref.dtype)
-        out_ref[0, 0, :, xb * slot_w:(xb + 1) * slot_w] = g
+            acc = jax.lax.fori_loop(
+                0, nblocks, chunk_body,
+                jnp.zeros((rows, slot_w), jnp.float32))
+            g = acc.astype(out_ref.dtype)
+            out_ref[0, jb, :, xb * slot_w:(xb + 1) * slot_w] = g
+            if stats_rows:
+                gv = g[:stats_rows].astype(jnp.float32)
+                s_sum = s_sum + jnp.sum(gv)
+                s_sq = s_sq + jnp.sum(gv * gv)
+                s_nz = s_nz + jnp.sum((gv != 0).astype(jnp.float32))
         if stats_rows:
-            gv = g[:stats_rows].astype(jnp.float32)
-            s_sum = s_sum + jnp.sum(gv)
-            s_sq = s_sq + jnp.sum(gv * gv)
-            s_nz = s_nz + jnp.sum((gv != 0).astype(jnp.float32))
-    if stats_rows:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        stats_ref[0, 0] = (s_sum * (lane == 0) + s_sq * (lane == 1)
-                           + s_nz * (lane == 2)).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            stats_ref[0, jb] = (s_sum * (lane == 0) + s_sq * (lane == 1)
+                                + s_nz * (lane == 2)).astype(jnp.float32)
 
 
 def voxelize_tiled(
@@ -943,8 +964,8 @@ def voxelize_folded(
     x: jax.Array, y: jax.Array, ts: jax.Array, pol: jax.Array,
     offsets: jax.Array, *, bins: int, height: int, width: int,
     interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nhwc",
-    chunk: int = CHUNK, out_dtype=jnp.float32, with_stats: bool = False,
-    normalize: bool = False, resize_w=None,
+    chunk: Optional[int] = None, out_dtype=jnp.float32,
+    with_stats: bool = False, normalize: bool = False, resize_w=None,
 ):
     """(B, N) band-sorted PRE-FOLDED events + (B, n_bands+1) offsets ->
     voxel grids, with no post-kernel fold pass.
@@ -971,6 +992,8 @@ def voxelize_folded(
     step scale) BEFORE the layout transpose, so resize-width datasets
     (DDD17 346->352) keep the fold-free s2d path end-to-end.
     """
+    if chunk is None:
+        chunk = FOLDED_CHUNK
     b, n = x.shape
     th = tile_h_for_bins(bins)
     assert height % th == 0 and width % TILE_W == 0, (height, width)
@@ -1002,31 +1025,37 @@ def voxelize_folded(
         for a in (cx, p0, s0, s1)
     ], axis=2)
 
-    grid = (b, n_bands)
-    out_specs = pl.BlockSpec(
-        (1, 1, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
-    out_shapes = jax.ShapeDtypeStruct((b, n_bands, rows_pad, width), out_dtype)
-    want_stats = with_stats or normalize
-    if want_stats:
-        out_specs = [out_specs, pl.BlockSpec(
-            (1, 1, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
-        out_shapes = [out_shapes, jax.ShapeDtypeStruct(
-            (b, n_bands, 8, 128), jnp.float32)]
     # offsets width decides the kernel: n_bands + 1 entries = the legacy
     # full-width dot; n_bands * ntx + 1 = per-x-slot dots (x_slots binning)
     n_groups = offsets.shape[1] - 1
     ntx = n_groups // n_bands
     assert n_groups == n_bands * ntx and width % ntx == 0, (
         offsets.shape, n_bands, width)
+    # pack consecutive bands into one grid program to amortize per-program
+    # fixed cost (FOLDED_BAND_PACK; largest divisor of n_bands <= the cap;
+    # slotted kernel only)
+    n_pack = (max(p for p in range(1, FOLDED_BAND_PACK + 1)
+                  if n_bands % p == 0) if ntx > 1 else 1)
+    grid = (b, n_bands // n_pack)
+    out_specs = pl.BlockSpec(
+        (1, n_pack, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
+    out_shapes = jax.ShapeDtypeStruct((b, n_bands, rows_pad, width), out_dtype)
+    want_stats = with_stats or normalize
+    if want_stats:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, n_pack, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
+        out_shapes = [out_shapes, jax.ShapeDtypeStruct(
+            (b, n_bands, 8, 128), jnp.float32)]
     if ntx > 1:
         assert width // ntx == TILE_W, (width, ntx)
         kern = functools.partial(
             _kernel_slotted, bins=bins, row_gap=th, rows=rows_pad,
             n_sub=ntx, slot_w=TILE_W, width_total=width, chunk=chunk,
-            oh_dtype=oh_dtype, stats_rows=rows if want_stats else 0)
+            oh_dtype=oh_dtype, stats_rows=rows if want_stats else 0,
+            n_pack=n_pack)
         scratch = [
-            pltpu.VMEM((ntx, 2, 4, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((ntx, 2)),
+            pltpu.VMEM((n_pack * ntx, 2, 4, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_pack * ntx, 2)),
         ]
     else:
         kern = functools.partial(

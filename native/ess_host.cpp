@@ -660,4 +660,111 @@ int64_t ingest_rectify_bin_folded(
   return max_needed;
 }
 
+// ---------------------------------------------------------------------------
+// Packed + folded wire: the ghost-folded band binning emitted as quantized
+// SoA columns — 7 bytes/record (x,y u16 1/64-px fixed point; t u16 per-window
+// normalized; PRE-WEIGHTED polarity i8 in 1/127 steps) instead of the 16-byte
+// f32 record. Coordinates are quantized to the 1/64 grid BEFORE folding, so
+// every fold invariant (band rows, x-slot columns, edge clamps) holds
+// EXACTLY on the values the device dequantizes: xq/64 is exact in f32 for
+// x < 1024, hence the host's group assignment and the kernel's tents agree
+// bit-for-bit; the only loss is the 1/64-px coordinate rounding (shared with
+// the halo packed wire) and the i8 weight rounding (|err| <= 1/254 per
+// record). Validity is implied by offsets[n_groups] (records pack from 0).
+// ---------------------------------------------------------------------------
+
+static inline void band_sort_write_packed(
+    const float* rec_scratch, const int32_t* band_scratch, int64_t m,
+    int64_t cap2, int64_t n_groups, uint16_t* dx, uint16_t* dy,
+    uint16_t* dt, int8_t* dp, int32_t* offs, int64_t* counts,
+    float tscale) {
+  if (m > cap2) m = 0;  // overflow: empty window, caller retries bigger
+  std::memset(counts, 0, sizeof(int64_t) * n_groups);
+  for (int64_t i = 0; i < m; ++i) ++counts[band_scratch[i]];
+  int64_t run = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    offs[g] = static_cast<int32_t>(run);
+    const int64_t c = counts[g];
+    counts[g] = run;
+    run += c;
+  }
+  offs[n_groups] = static_cast<int32_t>(run);
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t at = counts[band_scratch[i]]++;
+    // coords arrive already on the 1/64 grid: *64 is exact
+    dx[at] = static_cast<uint16_t>(rec_scratch[i * 4 + 0] * 64.0f + 0.5f);
+    dy[at] = static_cast<uint16_t>(rec_scratch[i * 4 + 1] * 64.0f + 0.5f);
+    float tq = rec_scratch[i * 4 + 2] * tscale + 0.5f;
+    dt[at] = static_cast<uint16_t>(tq > 60000.f ? 60000.f : tq);
+    const float pw = rec_scratch[i * 4 + 3] * 127.0f;
+    const float pr = pw > 0.f ? pw + 0.5f : pw - 0.5f;
+    dp[at] = static_cast<int8_t>(pr > 127.f ? 127.f
+                                            : (pr < -127.f ? -127.f : pr));
+  }
+  if (m < cap2) {
+    std::memset(dx + m, 0, sizeof(uint16_t) * (cap2 - m));
+    std::memset(dy + m, 0, sizeof(uint16_t) * (cap2 - m));
+    std::memset(dt + m, 0, sizeof(uint16_t) * (cap2 - m));
+    std::memset(dp + m, 0, cap2 - m);
+  }
+}
+
+// Fused DSEC ingest, packed + folded: rectify-map lookup + 1/64-px
+// quantization + per-window time normalization + ghost-folded band counting
+// sort, one pass over the raw h5 columns. Returns the max record count any
+// window needed (> cap2 => affected windows emitted empty, caller retries).
+int64_t ingest_rectify_bin_packed_folded(
+    const uint16_t* x, const uint16_t* y, const int64_t* t, const uint8_t* p,
+    const int64_t* starts, const int64_t* ends, int64_t T, int64_t cap,
+    int64_t cap2, const float* map, int64_t mh, int64_t mw,
+    int64_t tile_h, int64_t n_bands, int64_t ntx, int64_t slot_w,
+    uint16_t* out_x, uint16_t* out_y, uint16_t* out_t, int8_t* out_p,
+    int32_t* offsets, int64_t* counts, float* rec_scratch,
+    int32_t* band_scratch) {
+  const int64_t n_groups = n_bands * ntx;
+  const float fw = static_cast<float>(mw);
+  const float fh = static_cast<float>(mh);
+  const int32_t th = static_cast<int32_t>(tile_h);
+  int64_t max_needed = 0;
+  for (int64_t wi = 0; wi < T; ++wi) {
+    int64_t s = starts[wi];
+    const int64_t e = ends[wi];
+    if (e - s > cap) s = e - cap;
+    const int64_t n = e > s ? e - s : 0;
+    // time normalization spans the window's RAW first/last timestamps
+    // (matches ingest_rectify_bin_packed; see that function's comment)
+    const int64_t t0 = n > 0 ? t[s] : 0;
+    const int64_t t1 = n > 0 ? t[e - 1] : 0;
+    const float tscale = t1 > t0 ? 60000.0f / static_cast<float>(t1 - t0)
+                                 : 0.0f;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t srci = s + i;
+      const float* mp = map + (static_cast<int64_t>(y[srci]) * mw +
+                               static_cast<int64_t>(x[srci])) * 2;
+      // quantize FIRST (1/64-px grid, exact in f32), then fold on the
+      // quantized coordinates — grouping and device tents agree exactly.
+      // Edge-zone coords (dim-1, dim) and (-1, 0) stay negative/fractional
+      // here: fold_one_f32 folds their sub-pixel weight and emits in-frame
+      // records, so the u16 wire never sees an out-of-frame value (the
+      // halo packed wire clamps instead and loses the edge weight).
+      const float rx = std::floor(mp[0] * 64.0f + 0.5f) * (1.0f / 64.0f);
+      const float ry = std::floor(mp[1] * 64.0f + 0.5f) * (1.0f / 64.0f);
+      if (rx <= -1.f || rx >= fw || ry <= -1.f || ry >= fh) continue;
+      const float pw = p[srci] > 0 ? 1.f : -1.f;
+      m += fold_one_f32(rx, ry, static_cast<float>(t[srci] - t0), pw,
+                        fw, fh, th, static_cast<int32_t>(n_bands), 1,
+                        static_cast<int32_t>(ntx),
+                        static_cast<int32_t>(slot_w),
+                        rec_scratch + m * 4, band_scratch + m);
+    }
+    if (m > max_needed) max_needed = m;
+    band_sort_write_packed(rec_scratch, band_scratch, m, cap2, n_groups,
+                           out_x + wi * cap2, out_y + wi * cap2,
+                           out_t + wi * cap2, out_p + wi * cap2,
+                           offsets + wi * (n_groups + 1), counts, tscale);
+  }
+  return max_needed;
+}
+
 }  // extern "C"\n

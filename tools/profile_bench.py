@@ -93,6 +93,24 @@ def ddd17_step():
     return step, state, batch
 
 
+def bench_extra_streaming_cfg():
+    """The streaming bench's exact Config (bench_extra.bench_streaming_eval)."""
+    from ess_tpu.core.config import (
+        Config, DatasetConfig, EventDatasetConfig, ImageDatasetConfig,
+        ModelConfig, OptimConfig, TaskConfig)
+
+    return Config(
+        dataset=DatasetConfig(
+            sensor_a=ImageDatasetConfig(shape=(440, 640)),
+            sensor_b=EventDatasetConfig(
+                name="DSEC_events", shape=(440, 640), nr_events_data=20,
+                nr_temporal_bins=5, nr_events_window=100_000)),
+        model=ModelConfig(model_name="ess_supervised",
+                          compute_dtype="bfloat16"),
+        task=TaskConfig(semseg_num_classes=11),
+        optim=OptimConfig(batch_size_b=1))
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
@@ -125,6 +143,44 @@ def main() -> None:
             float(out["loss"])
         jax.profiler.stop_trace()
         print("trace written to", trace_dir)
+        parse_xplane(trace_dir)
+        return
+
+    if config == "streaming":
+        # VERDICT r4 #8: the B=1 carried-state long-horizon eval shape
+        # (bench_extra.bench_streaming_eval) — 19 encode windows + 1 scored
+        # window per cycle, exactly as the streaming bench runs it.
+        import jax.numpy as jnp
+
+        import bench_extra
+        from ess_tpu.train.streaming import make_streaming_steps
+
+        cfg = bench_extra_streaming_cfg()
+        mods = build_modules(cfg)
+        state = init_state(mods, jax.random.PRNGKey(0))
+        pipe = EventPipeline(PipelineConfig(
+            sensor_height=480, sensor_width=640, num_bins=5,
+            crop_bottom=40, trilinear=True, normalize=True))
+        encode_step, score_step = make_streaming_steps(mods, pipe)
+        rng = np.random.default_rng(0)
+        batch = bench_extra.make_event_batch(
+            rng, 1, 1, 100_000, 480, 640, (440, 640), 11)
+        first = dict(batch, is_first=jnp.ones((1,), bool))
+        rest = dict(batch, is_first=jnp.zeros((1,), bool))
+        rs = mods.recon_val.init_state(1)
+        rs = encode_step(state, rs, first)
+        rs, cm = score_step(state, rs, rest)
+        float(cm.sum())  # warmup/compile both programs
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            for _ in range(19):
+                rs = encode_step(state, rs, rest)
+            rs, cm = score_step(state, rs, rest)
+            float(cm.sum())
+        jax.profiler.stop_trace()
+        print("trace written to", trace_dir)
+        # 3 cycles x 20 windows: per-step numbers below are per CYCLE / 3;
+        # divide by 20 for per-window
         parse_xplane(trace_dir)
         return
 
