@@ -169,6 +169,38 @@ N_BUF = 4         # DMA buffer depth (prefetch distance N_BUF - 1 hides the
 INT8_SCALE = 127.0   # per-plane quantization scale of the int8 MXU path
 
 
+def _row_plane(p0, s0, s1, tent_iota, *, bins: int, row_gap: int,
+               rows: int, chunk: int):
+    """(1, chunk) event fields -> (rows, chunk) f32 row tent plane, built
+    FACTORED: one (row_gap, chunk) spatial tent + per-bin lane scales.
+
+    p0 = c0 * row_gap + yl with the tent of yl confined to its own
+    row_gap-row slab (the host pre-fold / wy_fold guarantee that nothing
+    crosses a row block), so the plane is exactly ``bins`` stacked slabs:
+    slab c = tent(yl) * (s0 where c == c0, s1 where c == c0 + 1, else 0).
+    Identical values to the two-tent tall expression
+    ``s0*max(0,1-|d0|) + s1*max(0,1-|d0-row_gap|)`` — row r = c*G + q has
+    |r - p0| = |(c-c0)*G + q - yl| which is >= 1 unless c == c0 (then
+    q - yl), and similarly for the second tent — but the VPU builds
+    row_gap rows once instead of evaluating ~11 passes over all
+    ``rows``: ~6x less plane work per chunk at the DSEC shape (G=24,
+    rows=120). Requires row_gap % 8 == 0 (slab concat stays on sublane
+    tile boundaries); callers fall back to the tall form otherwise.
+    """
+    inv_g = 1.0 / row_gap
+    c0 = jnp.floor((p0 + 0.5) * inv_g)          # exact: yl <= row_gap - 1
+    yl = p0 - c0 * row_gap
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(tent_iota - yl))
+    slabs = []
+    for c in range(bins):
+        tc = (jnp.where(c0 == c, s0, 0.0)
+              + (jnp.where(c0 == c - 1, s1, 0.0) if c else 0.0))
+        slabs.append(tent * tc)
+    if rows > bins * row_gap:
+        slabs.append(jnp.zeros((rows - bins * row_gap, chunk), jnp.float32))
+    return jnp.concatenate(slabs, axis=0)
+
+
 def _kernel(offs_ref, ev_ref, *refs,
             bins: int, row_gap: int, rows: int, k_tiles: int,
             col_slot: int, chunk: int, oh_dtype,
@@ -221,8 +253,10 @@ def _kernel(offs_ref, ev_ref, *refs,
     # column is identically zero — no in-range masking anywhere.
     col_iota_s = ((jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
                    + tid0 * col_slot).astype(jnp.float32) * plane_scale)
+    factored = row_gap % 8 == 0
     row_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, chunk), 0).astype(jnp.float32)
+        jnp.int32, (row_gap if factored else rows, chunk), 0
+    ).astype(jnp.float32)
 
     first_blk = start // chunk
     last_blk = jnp.maximum(end - 1, start) // chunk
@@ -262,9 +296,13 @@ def _kernel(offs_ref, ev_ref, *refs,
         # the padded row range (>= bins*row_gap), which the consumer
         # slices away (its scale is zero anyway).
         ohc_t = jnp.maximum(0.0, plane_scale - jnp.abs(col_iota_s - cx))
-        d0 = row_iota_f - p0
-        ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
-                 + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
+        if factored:
+            ohr_t = _row_plane(p0, s0, s1, row_iota_f, bins=bins,
+                               row_gap=row_gap, rows=rows, chunk=chunk)
+        else:
+            d0 = row_iota_f - p0
+            ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
+                     + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
 
         if quant:
             prod = jax.lax.dot_general(
@@ -328,8 +366,10 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
     plane_scale = INT8_SCALE if quant else 1.0
     col_iota0 = (jax.lax.broadcasted_iota(jnp.int32, (slot_w, chunk), 0)
                  .astype(jnp.float32) * plane_scale)
+    factored = row_gap % 8 == 0
     row_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, chunk), 0).astype(jnp.float32)
+        jnp.int32, (row_gap if factored else rows, chunk), 0
+    ).astype(jnp.float32)
 
     # per-(band, slot) DMA state: each group owns a private 2-deep ring
     # and its FIRST chunk's DMA is issued before ANY group computes — the
@@ -385,9 +425,15 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
                 s1 = buf[q, slot, 3][None, :]
                 ohc_t = jnp.maximum(0.0,
                                     plane_scale - jnp.abs(col_iota_s - cx))
-                d0 = row_iota_f - p0
-                ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
-                         + s1 * jnp.maximum(0.0, 1.0 - jnp.abs(d0 - row_gap)))
+                if factored:
+                    ohr_t = _row_plane(p0, s0, s1, row_iota_f, bins=bins,
+                                       row_gap=row_gap, rows=rows,
+                                       chunk=chunk)
+                else:
+                    d0 = row_iota_f - p0
+                    ohr_t = (s0 * jnp.maximum(0.0, 1.0 - jnp.abs(d0))
+                             + s1 * jnp.maximum(
+                                 0.0, 1.0 - jnp.abs(d0 - row_gap)))
                 if quant:
                     prod = jax.lax.dot_general(
                         jnp.round(ohr_t).astype(jnp.int8),

@@ -202,6 +202,7 @@ def main() -> None:
         float(out["loss"])
     jax.profiler.stop_trace()
     print("trace written to", trace_dir)
+    parse_xplane(trace_dir)
 
 
 if __name__ == "__main__":
