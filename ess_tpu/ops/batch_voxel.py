@@ -91,7 +91,7 @@ def _voxelize_pallas(
     oh_dtype=jnp.bfloat16, out_dtype=jnp.float32,
     t_prenormalized: bool = False, offsets_kind: str = "tile",
     normalize: bool = False, resize_width_to=None,
-    resize_align_corners: bool = True, chunk=None,
+    resize_align_corners: bool = True, chunk=None, deint=None,
 ):
     """Route through the tiled Pallas kernel (ops.voxel_pallas).
 
@@ -156,7 +156,8 @@ def _voxelize_pallas(
             jnp.where(ok, pol, 0.0), tile_offsets,
             bins=bins_eff, height=hp, width=wp, interpret=interpret,
             layout=layout, oh_dtype=oh_dtype, out_dtype=out_dtype,
-            normalize=normalize, resize_w=resize_w, chunk=chunk)
+            normalize=normalize, resize_w=resize_w, chunk=chunk,
+            deint=deint)
         if layout == "s4d":
             return grid[:, : height // 4, : out_w // 4, :]
         if layout == "s2d":
@@ -211,6 +212,7 @@ def voxelize_window_soa(
     resize_width_to=None,
     resize_align_corners: bool = True,
     voxel_chunk: Optional[int] = None,
+    deint: Optional[bool] = None,
 ) -> jax.Array:
     """One batched window of struct-of-arrays events -> (B, H, W, C) grids.
 
@@ -265,7 +267,7 @@ def voxelize_window_soa(
             normalize=normalize and band,
             resize_width_to=resize_width_to if band else None,
             resize_align_corners=resize_align_corners,
-            chunk=voxel_chunk,
+            chunk=voxel_chunk, deint=deint,
         )  # NHWC or s2d blocks
         if normalize and not band:
             flat = grid.reshape(grid.shape[0], 1, -1)

@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -333,7 +334,8 @@ def _kernel(offs_ref, ev_ref, *refs,
 def _kernel_slotted(offs_ref, ev_ref, *refs,
                     bins: int, row_gap: int, rows: int, n_sub: int,
                     slot_w: int, width_total: int, chunk: int, oh_dtype,
-                    stats_rows: int = 0, n_pack: int = 1):
+                    stats_rows: int = 0, n_pack: int = 1,
+                    deint: bool = False):
     """Pre-folded mode with per-x-slot dots (host_band_bin_folded
     x_slots=True).
 
@@ -364,12 +366,26 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
 
     quant = oh_dtype == jnp.int8
     plane_scale = INT8_SCALE if quant else 1.0
-    col_iota0 = (jax.lax.broadcasted_iota(jnp.int32, (slot_w, chunk), 0)
-                 .astype(jnp.float32) * plane_scale)
     factored = row_gap % 8 == 0
-    row_iota_f = jax.lax.broadcasted_iota(
-        jnp.int32, (row_gap if factored else rows, chunk), 0
-    ).astype(jnp.float32)
+    # ``deint``: permute the hoisted position iotas so the accumulator
+    # comes out space-to-depth DE-INTERLEAVED — column position i holds x
+    # value 2i (i < slot_w/2) or 2(i-slot_w/2)+1, row position q' in a bin
+    # slab holds y value 2*(q' mod th/2) + q' div (th/2). The tent planes
+    # compare VALUES, so this is a pure output permutation at zero
+    # per-chunk cost; the consumer's s2d layout transform then moves only
+    # coarse sublane/64-lane blocks instead of de-interleaving every other
+    # lane/row (the ~10 ms reshape/transpose/copy chain at DSEC scale).
+    ci = jax.lax.broadcasted_iota(jnp.int32, (slot_w, chunk), 0)
+    if deint:
+        assert factored and row_gap % 2 == 0, (row_gap, deint)
+        ci = 2 * ci - (slot_w - 1) * (ci >= slot_w // 2).astype(jnp.int32)
+    col_iota0 = ci.astype(jnp.float32) * plane_scale
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (row_gap if factored else rows, chunk), 0)
+    if deint:
+        half = row_gap // 2
+        ri = 2 * (ri % half) + ri // half
+    row_iota_f = ri.astype(jnp.float32)
 
     # per-(band, slot) DMA state: each group owns a private 2-deep ring
     # and its FIRST chunk's DMA is issued before ANY group computes — the
@@ -1012,6 +1028,7 @@ def voxelize_folded(
     interpret: bool = False, oh_dtype=jnp.bfloat16, layout: str = "nhwc",
     chunk: Optional[int] = None, out_dtype=jnp.float32,
     with_stats: bool = False, normalize: bool = False, resize_w=None,
+    deint: Optional[bool] = None,
 ):
     """(B, N) band-sorted PRE-FOLDED events + (B, n_bands+1) offsets ->
     voxel grids, with no post-kernel fold pass.
@@ -1092,13 +1109,24 @@ def voxelize_folded(
             (1, n_pack, 8, 128), lambda b_, t_, offs: (b_, t_, 0, 0))]
         out_shapes = [out_shapes, jax.ShapeDtypeStruct(
             (b, n_bands, 8, 128), jnp.float32)]
+    # De-interleaved s2d output (see _kernel_slotted): slotted kernel only,
+    # even tile height on sublane-tile boundaries (the factored row plane).
+    # MEASURED REGRESSION as the default (v5e full step, r5): the permuted
+    # iotas are free and the builder-side fine reshape/transpose chain does
+    # collapse to coarse block moves (13.8 -> 13.4 ms), but XLA then picks
+    # a stack layout whose per-window relayout inside the recurrent scan
+    # DOUBLES (4.2 -> 9.6 ms): bench 734.9 -> 719.9 w/s. Kept as a tested
+    # opt-in — it becomes interesting again if the scan-side consumer ever
+    # reads the stack layout directly.
+    deint = (deint if deint is not None
+             else False) and layout == "s2d" and ntx > 1 and th % 8 == 0
     if ntx > 1:
         assert width // ntx == TILE_W, (width, ntx)
         kern = functools.partial(
             _kernel_slotted, bins=bins, row_gap=th, rows=rows_pad,
             n_sub=ntx, slot_w=TILE_W, width_total=width, chunk=chunk,
             oh_dtype=oh_dtype, stats_rows=rows if want_stats else 0,
-            n_pack=n_pack)
+            n_pack=n_pack, deint=deint)
         scratch = [
             pltpu.VMEM((n_pack * ntx, 2, 4, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((n_pack * ntx, 2)),
@@ -1131,6 +1159,51 @@ def voxelize_folded(
         out, raw_stats = out
         # per-(window, band) partials -> (B, 3) per-window totals
         stats = jnp.sum(raw_stats[:, :, 0, :3], axis=1)
+
+    if deint:
+        flat = out[:, :, :rows]                     # (b, nb, rows, width)
+        if normalize:
+            num = stats[:, 2]
+            num_f = jnp.maximum(num, 1.0)
+            mean = stats[:, 0] / num_f
+            var = stats[:, 1] / num_f - mean * mean
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            std = jnp.where(std > 0, std, 1.0)
+            bshape = (-1, 1, 1, 1)
+            shift = mean.astype(flat.dtype).reshape(bshape)
+            scale = (1.0 / std).astype(flat.dtype).reshape(bshape)
+            normed = jnp.where(flat != 0, (flat - shift) * scale,
+                               jnp.zeros_like(flat))
+            flat = jnp.where((num > 0).reshape(bshape), normed, flat)
+        half = th // 2
+        if resize_w is not None:
+            # the resize matrix maps TRUE x order; conjugate it with the
+            # kernel's column permutation (rows: slotted (slot, s, xhl) ->
+            # x; cols: the output's global (s, xh) -> x) so the einsum
+            # consumes and emits the de-interleaved forms directly
+            in_pad, out_pad = resize_w.shape
+            assert in_pad == width and out_pad % 2 == 0
+            pos = np.arange(in_pad)
+            perm_in = ((pos // TILE_W) * TILE_W
+                       + 2 * (pos % (TILE_W // 2))
+                       + (pos % TILE_W) // (TILE_W // 2))
+            pos_o = np.arange(out_pad)
+            perm_out = 2 * (pos_o % (out_pad // 2)) + pos_o // (out_pad // 2)
+            rw = jnp.asarray(resize_w)[perm_in][:, perm_out]
+            flat = jnp.einsum(
+                "bnrw,wv->bnrv", flat, rw.astype(flat.dtype),
+                preferred_element_type=jnp.float32).astype(flat.dtype)
+            width = out_pad
+            # output columns are globally (s, xh): no slot dim
+            view = flat.reshape(b, n_bands, bins, 2, half, 2, width // 2)
+            view = jnp.transpose(view, (0, 1, 4, 6, 3, 5, 2))
+        else:
+            sw2 = TILE_W // 2
+            view = flat.reshape(b, n_bands, bins, 2, half, ntx, 2, sw2)
+            #      b nb  c  r  yh  slot s xhl -> b nb yh slot xhl r s c
+            view = jnp.transpose(view, (0, 1, 4, 5, 7, 3, 6, 2))
+        grid_out = view.reshape(b, height // 2, width // 2, 4 * bins)
+        return (grid_out, stats) if with_stats else grid_out
 
     core = out[:, :, :rows].reshape(b, n_bands, bins, th, width)
     if normalize:

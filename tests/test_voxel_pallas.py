@@ -676,3 +676,62 @@ def test_pallas_folded_x_slots_temporal(rng):
                               offsets_kind="band", **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=1e-4)
+
+
+def test_pallas_folded_x_slots_s2d_deint(rng):
+    """The de-interleaved s2d emission (slotted kernel with permuted
+    position iotas, voxel_pallas._kernel_slotted deint=True) must equal
+    space_to_depth of the NHWC grid — and its kernel-side normalize must
+    match the NHWC grid's normalize (stats are permutation-invariant)."""
+    from ess_tpu.ops.conv_s2d import space_to_depth
+
+    args, folded, offs = _folded_args(rng, x_slots=True)
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    nhwc = voxelize_window_soa(*folded, use_pallas=True,
+                               pallas_interpret=True,
+                               oh_dtype=jnp.float32, tile_offsets=offs,
+                               offsets_kind="band", **kw)
+    s2d = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", layout="s2d", deint=True,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(s2d),
+                               np.asarray(space_to_depth(nhwc)),
+                               atol=1e-6)
+    kwn = dict(kw, normalize=True)
+    nhwc_n = voxelize_window_soa(*folded, use_pallas=True,
+                                 pallas_interpret=True,
+                                 oh_dtype=jnp.float32, tile_offsets=offs,
+                                 offsets_kind="band", **kwn)
+    s2d_n = voxelize_window_soa(*folded, use_pallas=True,
+                                pallas_interpret=True,
+                                oh_dtype=jnp.float32, tile_offsets=offs,
+                                offsets_kind="band", layout="s2d",
+                                deint=True, **kwn)
+    np.testing.assert_allclose(np.asarray(s2d_n),
+                               np.asarray(space_to_depth(nhwc_n)),
+                               atol=1e-5)
+
+
+def test_pallas_folded_x_slots_s2d_deint_resize(rng):
+    """De-interleaved s2d with the width-resize einsum: the resize matrix
+    is conjugated with the kernel's column permutation, so the result must
+    equal s2d(resize_w(nhwc)) exactly."""
+    from ess_tpu.ops.conv_s2d import space_to_depth
+    from ess_tpu.ops.voxel_pallas import _resize_w_matrix
+
+    args, folded, offs = _folded_args(rng, x_slots=True)
+    kw = dict(num_bins=5, height=24, width=256, trilinear=True)
+    nhwc = voxelize_window_soa(*folded, use_pallas=True,
+                               pallas_interpret=True,
+                               oh_dtype=jnp.float32, tile_offsets=offs,
+                               offsets_kind="band", **kw)
+    s2d = voxelize_window_soa(*folded, use_pallas=True, pallas_interpret=True,
+                              oh_dtype=jnp.float32, tile_offsets=offs,
+                              offsets_kind="band", layout="s2d",
+                              resize_width_to=192, deint=True, **kw)
+    rw = _resize_w_matrix(256, 192, 256, 192, True)
+    ref = jnp.einsum("bhwc,wv->bhvc", nhwc, jnp.asarray(rw))
+    np.testing.assert_allclose(np.asarray(s2d),
+                               np.asarray(space_to_depth(ref)),
+                               atol=1e-5, rtol=1e-5)
