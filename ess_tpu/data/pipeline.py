@@ -70,6 +70,12 @@ class PipelineConfig:
     # slotted fold-free kernel — per-(band, x-slot) groups average ~1.1k
     # events at DSEC scale, so large blocks waste fill on group tails)
     voxel_chunk: Optional[int] = None
+    # raw-window mode: the recurrent scan consumes the voxelizer's RAW
+    # band accumulator and fuses the fine s2d transform (+ deferred
+    # normalize/flip) into one in-scan pass per window, skipping the
+    # bulk stack reshape/transpose/copy chain. None = auto (on where
+    # capable: pre-folded band batches, s2d rollout, no random crop).
+    raw_windows: Optional[bool] = None
 
     @property
     def _oh_dtype(self):
@@ -431,6 +437,127 @@ class EventPipeline:
         if label is not None:
             label = self.apply_label_transform(label, aug)
         return grids, label
+
+    def raw_capable(self, *, train: bool, batch: dict) -> bool:
+        """True when :meth:`build_all_raw` can serve this batch: the
+        fold-free kernel's pre-folded band offsets are present and every
+        transform is expressible on the raw accumulator (the
+        :meth:`s2d_capable` conditions)."""
+        cfg = self.cfg
+        on = cfg.raw_windows if cfg.raw_windows is not None else True
+        return (on and self.s2d_capable(train=train)
+                and ("ev_band_offsets" in batch or "band_offsets" in batch))
+
+    def build_all_raw(self, batch: dict, rng: Optional[jax.Array] = None,
+                      *, train: bool = False, out_dtype=jnp.bfloat16):
+        """SoA pre-folded batch -> (raw window stack, label, window_map).
+
+        Like :meth:`build_all` with ``layout='s2d'`` + ``time_major=True``,
+        but the returned stack is the voxelizer's RAW band accumulator
+        ``(T, B, n_bands, bins*th, Wp)`` — the kernel's natural layout,
+        written once and never repacked. ``window_map(raw_t, stats_t) ->
+        (B, H'/2, W'/2, 4*bins)`` applies the deferred per-window
+        normalization, the horizontal flip draw, the fine s2d transform
+        and the crop; the recurrent scan calls it per window
+        (Reconstructor.rollout_raw) so the whole transform is ONE fused
+        in-scan pass instead of the bulk 4-pass stack chain (~10.5 ms +
+        3.3 ms slice_bitcasts + 4.9 ms in-scan relayout at DSEC scale).
+
+        ``stats`` is None when normalization is off or already folded into
+        the kernel tail (resize datasets — ordering, see voxelize_folded).
+        """
+        from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+        from ess_tpu.ops.batch_voxel import effective_bins
+
+        cfg = self.cfg
+        if "ev_xq" in batch:
+            batch = self.decode_packed(batch)
+        assert "ev_band_offsets" in batch, "raw mode needs band offsets"
+        t_prenorm = bool(batch.get("ev_t_prenormalized", False))
+        b, t_dim, n = batch["ev_x"].shape
+        # time-major flatten: the kernel grid — and therefore the raw
+        # stack — comes out (T, B, ...); the scan slices leading-axis
+        # blocks with no transpose
+        flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(t_dim * b, n)
+        offs = jnp.swapaxes(batch["ev_band_offsets"], 0, 1)
+        resize_width_to = None
+        if cfg.resize_to is not None and cfg.resize_to[1] != cfg.sensor_width:
+            resize_width_to = cfg.resize_to[1]
+        raw, stats = voxelize_window_soa(
+            flat(batch["ev_x"]), flat(batch["ev_y"]), flat(batch["ev_t"]),
+            flat(batch["ev_p"]), flat(batch["ev_valid"]),
+            num_bins=cfg.num_bins,
+            height=cfg.sensor_height, width=cfg.sensor_width,
+            representation=cfg.representation,
+            separate_pol=cfg.separate_pol,
+            trilinear=cfg.trilinear,
+            normalize=cfg.normalize,
+            tile_offsets=offs.reshape(b * t_dim, -1),
+            use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
+            oh_dtype=cfg._oh_dtype,
+            layout="raw",
+            out_dtype=out_dtype,
+            t_prenormalized=t_prenorm,
+            offsets_kind="band",
+            resize_width_to=resize_width_to,
+            resize_align_corners=cfg.resize_align_corners,
+            voxel_chunk=cfg.voxel_chunk,
+        )
+        raw = raw.reshape(t_dim, b, *raw.shape[1:])
+        defer_norm = cfg.normalize and resize_width_to is None
+        stats = (stats.reshape(t_dim, b, 3) if defer_norm else None)
+        aug = self.sample_augment(rng, b, train=train)
+
+        bins_eff = effective_bins(
+            cfg.num_bins, cfg.separate_pol, cfg.trilinear)
+        th = tile_h_for_bins(bins_eff)
+        out_h = cfg.sensor_height - cfg.crop_bottom
+        out_w = (resize_width_to if resize_width_to is not None
+                 else cfg.sensor_width)
+        n_bands = raw.shape[2]
+
+        def window_map(r: jax.Array, s: Optional[jax.Array]) -> jax.Array:
+            # r: (B, n_bands, bins*th, Wp'); s: (B, 3) f32 stats or None
+            if s is not None:
+                # deferred nonzero standardization — bit-identical math to
+                # voxelize_folded's in-tail normalize (same dtype/order)
+                num = s[:, 2]
+                num_f = jnp.maximum(num, 1.0)
+                mean = s[:, 0] / num_f
+                var = s[:, 1] / num_f - mean * mean
+                std = jnp.sqrt(jnp.maximum(var, 0.0))
+                std = jnp.where(std > 0, std, 1.0)
+                bshape = (-1, 1, 1, 1)
+                shift = mean.astype(r.dtype).reshape(bshape)
+                scale = (1.0 / std).astype(r.dtype).reshape(bshape)
+                normed = jnp.where(r != 0, (r - shift) * scale,
+                                   jnp.zeros_like(r))
+                r = jnp.where((num > 0).reshape(bshape), normed, r)
+            # drop the kernel's lane padding first (wp >= sensor width,
+            # resize out_pad >= resized width): the flip must reverse the
+            # TRUE x axis, not the padded one
+            if r.shape[-1] != out_w:
+                r = r[..., :out_w]
+            if aug.flip is not None:
+                # a horizontal flip of the voxel grid is a pure reversal
+                # of the raw accumulator's minor (x) axis — cheaper and
+                # simpler than the block-space channel permutation the
+                # transposed s2d form needs (_transform_s2d)
+                r = jnp.where(aug.flip[:, None, None, None],
+                              r[..., ::-1], r)
+            w_ = r.shape[-1]
+            core = r.reshape(r.shape[0], n_bands, bins_eff, th // 2, 2,
+                             w_ // 2, 2)
+            core = jnp.transpose(core, (0, 1, 3, 5, 4, 6, 2))
+            g = core.reshape(r.shape[0], (n_bands * th) // 2, w_ // 2,
+                             4 * bins_eff)
+            return g[:, : out_h // 2, : out_w // 2]
+
+        label = batch.get("label")
+        if label is not None:
+            label = self.apply_label_transform(label, aug)
+        return {"raw": raw, "stats": stats}, label, window_map
 
     # -------------------- legacy dense path --------------------
 

@@ -151,6 +151,17 @@ def _voxelize_pallas(
             out_pad = ((out_w + 7) // 8) * 8
             resize_w = jnp.asarray(_resize_w_matrix(
                 width, out_w, wp, out_pad, resize_align_corners))
+        if layout == "raw":
+            # raw-accumulator mode (see voxelize_folded): returns the
+            # untransposed kernel output + per-window stats; the consumer
+            # (EventPipeline.build_all_raw) owns crop/normalize/flip and
+            # the fine s2d transform, fused per window inside the scan
+            return voxelize_folded(
+                x.astype(jnp.float32), y.astype(jnp.float32), ts,
+                jnp.where(ok, pol, 0.0), tile_offsets,
+                bins=bins_eff, height=hp, width=wp, interpret=interpret,
+                layout="raw", oh_dtype=oh_dtype, out_dtype=out_dtype,
+                normalize=normalize, resize_w=resize_w, chunk=chunk)
         grid = voxelize_folded(
             x.astype(jnp.float32), y.astype(jnp.float32), ts,
             jnp.where(ok, pol, 0.0), tile_offsets,
@@ -247,6 +258,11 @@ def voxelize_window_soa(
             # XLA scatter path, which has no folded decode.
             use_pallas = True
             pallas_interpret = True
+    if layout == "raw":
+        assert use_pallas and representation == "voxel_grid" and \
+            offsets_kind == "band", (
+                "raw-accumulator layout requires the fold-free Pallas "
+                "kernel (pre-folded band-offset batches)")
     if use_pallas and representation == "voxel_grid":
         assert rectify_map is None or tile_offsets is None, (
             "host tile offsets were computed on pre-rectification "

@@ -1205,6 +1205,42 @@ def voxelize_folded(
         grid_out = view.reshape(b, height // 2, width // 2, 4 * bins)
         return (grid_out, stats) if with_stats else grid_out
 
+    if layout == "raw":
+        # Raw-accumulator mode: return the kernel output (B, n_bands,
+        # bins*th, W) UNTRANSPOSED so the recurrent scan can slice it
+        # per window and fuse the fine s2d transform (+ deferred
+        # normalize/flip) into ONE in-scan pass — the bulk 4-pass
+        # reshape/transpose/copy chain (~10.5 ms at DSEC step scale)
+        # never runs. Consumers: EventPipeline.build_all_raw ->
+        # Reconstructor.rollout_raw.
+        #
+        # Normalization ordering: the reference normalizes at SENSOR
+        # resolution before any resize (data_util.py:38-51 semantics),
+        # and nonzero-masked standardization does NOT commute with the
+        # resize matmul — so when a resize folds in, normalize is
+        # applied here on the flat accumulator (one fused elementwise
+        # pass into the einsum operand read); otherwise it is DEFERRED
+        # to the consumer's per-window map (stats returned).
+        flat = out[:, :, :rows]  # rows_pad -> rows (no-op when equal)
+        if resize_w is not None:
+            if normalize:
+                num = stats[:, 2]
+                num_f = jnp.maximum(num, 1.0)
+                mean = stats[:, 0] / num_f
+                var = stats[:, 1] / num_f - mean * mean
+                std = jnp.sqrt(jnp.maximum(var, 0.0))
+                std = jnp.where(std > 0, std, 1.0)
+                bshape = (-1, 1, 1, 1)
+                shift = mean.astype(flat.dtype).reshape(bshape)
+                scale = (1.0 / std).astype(flat.dtype).reshape(bshape)
+                normed = jnp.where(flat != 0, (flat - shift) * scale,
+                                   jnp.zeros_like(flat))
+                flat = jnp.where((num > 0).reshape(bshape), normed, flat)
+            flat = jnp.einsum(
+                "bnrw,wv->bnrv", flat, resize_w.astype(flat.dtype),
+                preferred_element_type=jnp.float32).astype(flat.dtype)
+        return flat, stats
+
     core = out[:, :, :rows].reshape(b, n_bands, bins, th, width)
     if normalize:
         # nonzero standardization from the kernel-side stats, applied at

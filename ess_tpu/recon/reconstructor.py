@@ -195,6 +195,41 @@ class Reconstructor:
             params, get_window(t_dim - 1), state, decode=True)
         return final_img, final_state, final_latent
 
+    def rollout_raw(self, params, raw: jax.Array, stats, window_map,
+                    init_state=None):
+        """Roll out from the voxelizer's RAW band-accumulator stack.
+
+        ``raw``: (T, B, n_bands, bins*th, Wp) from
+        ``EventPipeline.build_all_raw``; ``stats``: (T, B, 3) deferred
+        normalization stats or None; ``window_map(raw_t, stats_t) ->
+        (B, H/2, W/2, 4C)`` s2d window. Each scan step dynamic-indexes one
+        contiguous leading-axis block and applies the transform inside the
+        scan body — the transposed window stack (and its fwd/bwd slice
+        copies) never materializes in HBM. Semantics match
+        :meth:`rollout` with ``windows_s2d=True, time_major=True``.
+        """
+        t_dim, b = raw.shape[:2]
+        state = self.init_state(b) if init_state is None else init_state
+
+        def get(i):
+            r = jax.lax.dynamic_index_in_dim(raw, i, axis=0, keepdims=False)
+            s = (jax.lax.dynamic_index_in_dim(stats, i, axis=0,
+                                              keepdims=False)
+                 if stats is not None else None)
+            return window_map(r, s)
+
+        def body(carry, i):
+            _, new_state, _ = self.step(params, get(i), carry, decode=False,
+                                        events_s2d=True)
+            if self.no_recurrent:
+                new_state = carry
+            return new_state, None
+
+        if t_dim > 1 and not self.no_recurrent:
+            state, _ = jax.lax.scan(body, state, jnp.arange(t_dim - 1))
+        return self.step(params, get(t_dim - 1), state, decode=True,
+                         events_s2d=True)
+
     def rollout_all(self, params, windows: jax.Array, init_state=None):
         """Like :meth:`rollout` but returns every intermediate image
         (T, B, Hp, Wp, 1) — the standalone reconstruction CLI's output

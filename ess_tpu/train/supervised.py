@@ -61,7 +61,19 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
                 and (g.padded_height, g.padded_width)
                 == (recon.height, recon.width)
                 and cfg.output_size(train) == (recon.height, recon.width))
-            if use_s2d:
+            use_raw = (use_s2d and not quad
+                       and pipeline.raw_capable(train=train, batch=batch))
+            if use_raw:
+                # raw-window mode: the scan consumes the voxelizer's RAW
+                # band accumulator directly; normalize/flip/s2d-transform/
+                # crop all fuse into one in-scan pass per window
+                # (build_all_raw docstring) — the transposed window stack
+                # never materializes in HBM.
+                rawd, labels, wmap = pipeline.build_all_raw(
+                    batch, rng, train=train, out_dtype=recon.model.dtype)
+                img, _, latent = recon.rollout_raw(
+                    state.e2vid_params, rawd["raw"], rawd["stats"], wmap)
+            elif use_s2d:
                 # voxelizer folds straight to space-to-depth bf16 blocks
                 # (4x4 quad blocks when the model rolls out quad-block);
                 # the scan never pays a per-window layout transpose, and

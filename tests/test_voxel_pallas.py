@@ -735,3 +735,142 @@ def test_pallas_folded_x_slots_s2d_deint_resize(rng):
     np.testing.assert_allclose(np.asarray(s2d),
                                np.asarray(space_to_depth(ref)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_build_all_raw_window_map(rng):
+    """Raw-window mode (build_all_raw + window_map) reproduces the s2d
+    build bit-for-bit: deferred normalize, flip draw, fine s2d transform
+    and crop all match build_all(layout='s2d', time_major=True)."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    b, t_dim, n, h, w = 2, 3, 500, 24, 256
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(raw[i], valid[i], height=h,
+                                          width=w, bins=5)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs = np.stack(rs), np.stack(vs)
+    batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs),
+        "ev_band_offsets": jnp.asarray(np.stack(os_)),
+        "label": jnp.asarray(rng.integers(0, 5, (b, h - 8, w)), jnp.int32),
+    }
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=8, random_flip=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    assert pipe.raw_capable(train=True, batch=batch)
+    key = jax.random.PRNGKey(3)
+    ref, lbl_ref = pipe.build_all(batch, key, train=True, layout="s2d",
+                                  out_dtype=jnp.float32, time_major=True)
+    rawd, lbl_got, wmap = pipe.build_all_raw(batch, key, train=True,
+                                             out_dtype=jnp.float32)
+    assert rawd["stats"] is not None  # deferred normalize (no resize)
+    got = np.stack([
+        np.asarray(wmap(rawd["raw"][t], rawd["stats"][t]))
+        for t in range(t_dim)])
+    np.testing.assert_array_equal(got, np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(lbl_got), np.asarray(lbl_ref))
+
+
+def test_pipeline_build_all_raw_resize_width(rng):
+    """Raw-window mode with the DDD17-style width-only resize: normalize
+    folds into the kernel tail (sensor-res ordering) and window_map only
+    does flip + s2d transform + crop — equal to the s2d build."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    b, t_dim, n, h, w = 2, 2, 500, 26, 170
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(raw[i], valid[i], height=h,
+                                          width=w, bins=5)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs = np.stack(rs), np.stack(vs)
+    batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs),
+        "ev_band_offsets": jnp.asarray(np.stack(os_)),
+    }
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=6, resize_to=(20, 176),
+        random_flip=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    assert pipe.raw_capable(train=True, batch=batch)
+    key = jax.random.PRNGKey(7)
+    ref, _ = pipe.build_all(batch, key, train=True, layout="s2d",
+                            out_dtype=jnp.float32, time_major=True)
+    rawd, _, wmap = pipe.build_all_raw(batch, key, train=True,
+                                       out_dtype=jnp.float32)
+    assert rawd["stats"] is None  # normalize folded into the kernel tail
+    got = np.stack([np.asarray(wmap(rawd["raw"][t], None))
+                    for t in range(t_dim)])
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_supervised_rollout_raw_matches_s2d(rng):
+    """The full supervised train step takes the raw-window path when
+    capable and computes the SAME loss/updates as the s2d stack path
+    (raw_windows pin False) — end-to-end graph equivalence."""
+    import dataclasses
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+    from tests.test_train_steps import tiny_config
+
+    h = w = 16
+    cfg = tiny_config()
+    mods = build_modules(cfg)
+    state0 = init_state(mods, jax.random.PRNGKey(0))
+    pcfg = PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, random_flip=True,
+        use_pallas=True, pallas_interpret=True)
+
+    b, t_dim, n = 2, 2, 256
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(
+            raw[i], np.ones((t_dim, n), bool), height=h, width=w, bins=5)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs, os_ = np.stack(rs), np.stack(vs), np.stack(os_)
+    batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs), "ev_band_offsets": jnp.asarray(os_),
+        "label": jnp.asarray(rng.integers(0, 6, (b, h, w)), jnp.int32),
+    }
+    losses = {}
+    for name, pin in (("raw", None), ("stack", False)):
+        pipe = EventPipeline(dataclasses.replace(pcfg, raw_windows=pin))
+        step = sup.make_train_step(mods, pipe)
+        state = jax.tree.map(jnp.copy, state0)
+        _, out = step(state, batch)
+        losses[name] = float(out["loss"])
+    assert np.isclose(losses["raw"], losses["stack"], rtol=1e-5), losses

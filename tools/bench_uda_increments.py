@@ -25,9 +25,10 @@ import bench_extra  # noqa: E402
 # Demoted rung (r4): +block-head measured 359.4 (-58) on this step and was
 # removed from the config surface (it survives as an op-level experiment).
 LADDER = [
-    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, "xla"),
-    ("int8-cells", {}, "xla"),
-    ("+blocked-stem (default)", {}, "auto"),
+    ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, "xla", False),
+    ("int8-cells", {}, "xla", False),
+    ("+blocked-stem", {}, "auto", False),
+    ("+raw-windows (default)", {}, "auto", True),
 ]
 
 
@@ -45,11 +46,14 @@ def main():
     base = bench_extra.make_uda_dsec_cfg()
     pipe, batch = bench_extra.make_uda_dsec_inputs()
     b, t = bench_extra.UDA_DSEC_B, bench_extra.UDA_DSEC_T
+    pipe_noraw = type(pipe)(dataclasses.replace(
+        pipe.cfg, raw_windows=False), rectify_map=pipe.rectify_map)
 
     prev = None
-    for i, (name, tweak, stem) in enumerate(LADDER):
+    for i, (name, tweak, stem, raw) in enumerate(LADDER):
         if args.only is not None and i not in args.only:
             continue
+        pipe_i = pipe if raw else pipe_noraw
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, **tweak))
         try:
@@ -59,7 +63,7 @@ def main():
                     mods, front_a=dataclasses.replace(
                         mods.front_a, stem_impl=stem))
             state = init_state(mods, jax.random.PRNGKey(0))
-            step = uda_mod.make_train_step(mods, pipe)
+            step = uda_mod.make_train_step(mods, pipe_i)
             state, out = step(state, batch)   # compile + warmup
             float(out["loss"])
             t0 = time.perf_counter()
