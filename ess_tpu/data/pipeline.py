@@ -73,8 +73,11 @@ class PipelineConfig:
     # raw-window mode: the recurrent scan consumes the voxelizer's RAW
     # band accumulator and fuses the fine s2d transform (+ deferred
     # normalize/flip) into one in-scan pass per window, skipping the
-    # bulk stack reshape/transpose/copy chain. None = auto (on where
-    # capable: pre-folded band batches, s2d rollout, no random crop).
+    # bulk stack reshape/transpose/copy chain. MEASURED REGRESSION at
+    # DSEC step scale (742.4 -> 691.3 w/s, r5 ladder): the per-window
+    # transform serializes inside the scan (fwd AND bwd) and costs more
+    # than the bulk 4-pass chain it removes. None = auto (OFF). Kept as
+    # a tested opt-in (bit-exact vs the s2d stack path).
     raw_windows: Optional[bool] = None
 
     @property
@@ -444,7 +447,7 @@ class EventPipeline:
         transform is expressible on the raw accumulator (the
         :meth:`s2d_capable` conditions)."""
         cfg = self.cfg
-        on = cfg.raw_windows if cfg.raw_windows is not None else True
+        on = cfg.raw_windows if cfg.raw_windows is not None else False
         return (on and self.s2d_capable(train=train)
                 and ("ev_band_offsets" in batch or "band_offsets" in batch))
 

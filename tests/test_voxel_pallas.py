@@ -767,7 +767,7 @@ def test_pipeline_build_all_raw_window_map(rng):
     }
     pipe = EventPipeline(PipelineConfig(
         sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
-        normalize=True, crop_bottom=8, random_flip=True,
+        normalize=True, crop_bottom=8, random_flip=True, raw_windows=True,
         use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
     assert pipe.raw_capable(train=True, batch=batch)
     key = jax.random.PRNGKey(3)
@@ -813,7 +813,7 @@ def test_pipeline_build_all_raw_resize_width(rng):
     pipe = EventPipeline(PipelineConfig(
         sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
         normalize=True, crop_bottom=6, resize_to=(20, 176),
-        random_flip=True,
+        random_flip=True, raw_windows=True,
         use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
     assert pipe.raw_capable(train=True, batch=batch)
     key = jax.random.PRNGKey(7)
@@ -867,7 +867,7 @@ def test_supervised_rollout_raw_matches_s2d(rng):
         "label": jnp.asarray(rng.integers(0, 6, (b, h, w)), jnp.int32),
     }
     losses = {}
-    for name, pin in (("raw", None), ("stack", False)):
+    for name, pin in (("raw", True), ("stack", False)):
         pipe = EventPipeline(dataclasses.replace(pcfg, raw_windows=pin))
         step = sup.make_train_step(mods, pipe)
         state = jax.tree.map(jnp.copy, state0)

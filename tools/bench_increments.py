@@ -37,8 +37,8 @@ import bench  # noqa: E402  (shares config/batch with the driver metric)
 LADDER = [
     ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, {}, False),
     ("int8-cells (r3 default)", {}, {}, False),
-    ("+folded-voxel", {}, {"raw_windows": False}, True),
-    ("+raw-windows (default)", {}, {}, True),
+    ("+folded-voxel (default)", {}, {}, True),
+    ("+raw-windows (opt-in)", {}, {"raw_windows": True}, True),
     ("+voxel-int8 (opt-in)", {}, {"voxel_oh_dtype": "int8"}, True),
 ]
 

@@ -27,8 +27,8 @@ import bench_extra  # noqa: E402
 LADDER = [
     ("xla-cells", {"lstm_impl_train": None, "lstm_impl": "xla"}, "xla", False),
     ("int8-cells", {}, "xla", False),
-    ("+blocked-stem", {}, "auto", False),
-    ("+raw-windows (default)", {}, "auto", True),
+    ("+blocked-stem (default)", {}, "auto", False),
+    ("+raw-windows (opt-in)", {}, "auto", True),
 ]
 
 
@@ -46,14 +46,14 @@ def main():
     base = bench_extra.make_uda_dsec_cfg()
     pipe, batch = bench_extra.make_uda_dsec_inputs()
     b, t = bench_extra.UDA_DSEC_B, bench_extra.UDA_DSEC_T
-    pipe_noraw = type(pipe)(dataclasses.replace(
-        pipe.cfg, raw_windows=False), rectify_map=pipe.rectify_map)
+    pipe_raw = type(pipe)(dataclasses.replace(
+        pipe.cfg, raw_windows=True), rectify_map=pipe.rectify_map)
 
     prev = None
     for i, (name, tweak, stem, raw) in enumerate(LADDER):
         if args.only is not None and i not in args.only:
             continue
-        pipe_i = pipe if raw else pipe_noraw
+        pipe_i = pipe_raw if raw else pipe
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, **tweak))
         try:
