@@ -322,7 +322,8 @@ def bench_streaming_eval(b=1, n=100_000, windows_per_score=20, iters=8,
     dt = (time.perf_counter() - t0) / total
     print(f"DSEC streaming eval (B={b}, labeled 1/{windows_per_score}): "
           f"{dt*1e3:.1f} ms/window -> {b/dt:.0f} windows/s", flush=True)
-    emit("dsec_streaming_eval_windows_per_sec_per_chip", b / dt)
+    suffix = "" if b == 1 else f"_b{b}"
+    emit(f"dsec_streaming_eval{suffix}_windows_per_sec_per_chip", b / dt)
 
 
 class _SyntheticDSEC:
@@ -490,6 +491,12 @@ def main():
         bench_uda_dsec,
         bench_uda_ddd17,
         bench_streaming_eval,
+        # multi-stream deployment shape: the reference's own validation
+        # loader batches sequence streams (batch_size sequences in
+        # parallel, sequence_recurrent.py via base_trainer dataloaders);
+        # B=1 leaves XLA with T(2,128) layouts on every conv (see the
+        # streaming xplane in BASELINE.md) — B=8 is the throughput shape
+        lambda: bench_streaming_eval(b=8),
         lambda: bench_ingest_dsec(wire="packed_folded"),
         lambda: bench_ingest_dsec(wire="packed"),
     ]

@@ -79,6 +79,15 @@ class PipelineConfig:
     # than the bulk 4-pass chain it removes. None = auto (OFF). Kept as
     # a tested opt-in (bit-exact vs the s2d stack path).
     raw_windows: Optional[bool] = None
+    # stack-window mode: the voxelizer kernel emits the space-to-depth
+    # NCHW window stack DIRECTLY (voxelize_folded layout='stack') and
+    # the per-window map is ONLY elementwise normalize/flip + the
+    # window relayout the scan already pays — unlike raw_windows, no
+    # fine reshape/transpose runs inside the scan, and unlike the
+    # default, the bulk 4-pass stack chain (~13.7 ms at DSEC step
+    # scale) never runs at all. Needs pre-folded band batches on the
+    # slotted kernel, no resize. None = auto (OFF until measured).
+    stack_windows: Optional[bool] = None
 
     @property
     def _oh_dtype(self):
@@ -450,6 +459,120 @@ class EventPipeline:
         on = cfg.raw_windows if cfg.raw_windows is not None else False
         return (on and self.s2d_capable(train=train)
                 and ("ev_band_offsets" in batch or "band_offsets" in batch))
+
+    def stack_capable(self, *, train: bool, batch: dict) -> bool:
+        """True when :meth:`build_all_stack` can serve this batch: the
+        slotted fold-free kernel's pre-folded band offsets are present,
+        the transforms are expressible in block space (:meth:`s2d_capable`)
+        and there is no resize (the stack emission cannot fold the width
+        matmul)."""
+        from ess_tpu.ops.voxel_pallas import tile_h_for_bins
+        from ess_tpu.ops.batch_voxel import effective_bins
+
+        cfg = self.cfg
+        on = cfg.stack_windows if cfg.stack_windows is not None else False
+        offs = batch.get("ev_band_offsets")
+        if not (on and self.s2d_capable(train=train) and offs is not None
+                and cfg.resize_to is None and cfg.use_pallas
+                and cfg.representation == "voxel_grid"
+                and cfg.sensor_height % 2 == 0):
+            return False
+        bins_eff = effective_bins(
+            cfg.num_bins, cfg.separate_pol, cfg.trilinear)
+        th = tile_h_for_bins(bins_eff)
+        hp = -(-cfg.sensor_height // th) * th
+        # slotted kernel only (per-x-slot offsets), even tile height
+        return th % 2 == 0 and offs.shape[-1] - 1 > hp // th
+
+    def build_all_stack(self, batch: dict, rng: Optional[jax.Array] = None,
+                        *, train: bool = False, out_dtype=jnp.bfloat16):
+        """SoA pre-folded batch -> (s2d NCHW window stack, label,
+        window_map).
+
+        The voxelizer kernel emits the space-to-depth stack DIRECTLY
+        (``voxelize_folded`` ``layout='stack'``): the returned stack is
+        ``(T, B, 4*bins, H/2, W/2)`` and ``window_map(stack_t, stats_t)
+        -> (B, H'/2, W'/2, 4*bins)`` applies ONLY the deferred per-window
+        elementwise normalization, the block-space flip, the bottom crop
+        and the NHWC transpose — all of which fuse into the window
+        relayout copy the recurrent scan already pays. Unlike the default
+        s2d build, the bulk reshape/transpose/copy chain (~13.7 ms at
+        DSEC step scale) never runs; unlike ``build_all_raw``, no fine
+        s2d reshape happens inside the scan. Values match
+        ``build_all(layout='s2d', time_major=True)`` windows exactly up
+        to the kernel stats' reduction order under normalize (the deint
+        emission permutes the accumulator, so mean/std agree to ~1 ulp).
+        """
+        from ess_tpu.ops.batch_voxel import effective_bins
+
+        cfg = self.cfg
+        if "ev_xq" in batch:
+            batch = self.decode_packed(batch)
+        assert "ev_band_offsets" in batch, "stack mode needs band offsets"
+        t_prenorm = bool(batch.get("ev_t_prenormalized", False))
+        b, t_dim, n = batch["ev_x"].shape
+        flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(t_dim * b, n)
+        offs = jnp.swapaxes(batch["ev_band_offsets"], 0, 1)
+        stack, stats = voxelize_window_soa(
+            flat(batch["ev_x"]), flat(batch["ev_y"]), flat(batch["ev_t"]),
+            flat(batch["ev_p"]), flat(batch["ev_valid"]),
+            num_bins=cfg.num_bins,
+            height=cfg.sensor_height, width=cfg.sensor_width,
+            representation=cfg.representation,
+            separate_pol=cfg.separate_pol,
+            trilinear=cfg.trilinear,
+            normalize=cfg.normalize,
+            tile_offsets=offs.reshape(b * t_dim, -1),
+            use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
+            oh_dtype=cfg._oh_dtype,
+            layout="stack",
+            out_dtype=out_dtype,
+            t_prenormalized=t_prenorm,
+            offsets_kind="band",
+            voxel_chunk=cfg.voxel_chunk,
+        )
+        stack = stack.reshape(t_dim, b, *stack.shape[1:])
+        stats = (stats.reshape(t_dim, b, 3) if cfg.normalize else None)
+        aug = self.sample_augment(rng, b, train=train)
+
+        bins_eff = effective_bins(
+            cfg.num_bins, cfg.separate_pol, cfg.trilinear)
+        out_h = cfg.sensor_height - cfg.crop_bottom
+        if aug.flip is not None:
+            flip_perm = np.arange(4 * bins_eff).reshape(
+                2, 2, bins_eff)[:, ::-1].reshape(-1)
+
+        def window_map(r: jax.Array, s: Optional[jax.Array]) -> jax.Array:
+            # r: (B, 4*bins, H/2, W/2) NCHW; s: (B, 3) f32 stats or None
+            if s is not None:
+                # deferred nonzero standardization — identical math/order
+                # to the bulk build's kernel-stats normalize
+                num = s[:, 2]
+                num_f = jnp.maximum(num, 1.0)
+                mean = s[:, 0] / num_f
+                var = s[:, 1] / num_f - mean * mean
+                std = jnp.sqrt(jnp.maximum(var, 0.0))
+                std = jnp.where(std > 0, std, 1.0)
+                bshape = (-1, 1, 1, 1)
+                shift = mean.astype(r.dtype).reshape(bshape)
+                scale = (1.0 / std).astype(r.dtype).reshape(bshape)
+                normed = jnp.where(r != 0, (r - shift) * scale,
+                                   jnp.zeros_like(r))
+                r = jnp.where((num > 0).reshape(bshape), normed, r)
+            if aug.flip is not None:
+                # block-space horizontal flip: reverse the block-x axis
+                # and the px phase of the (py*2+px)*bins+c channel order
+                # (_transform_s2d semantics on the NCHW form)
+                flipped = r[:, flip_perm, :, ::-1]
+                r = jnp.where(aug.flip[:, None, None, None], flipped, r)
+            r = r[:, :, : out_h // 2]
+            return jnp.transpose(r, (0, 2, 3, 1))
+
+        label = batch.get("label")
+        if label is not None:
+            label = self.apply_label_transform(label, aug)
+        return {"raw": stack, "stats": stats}, label, window_map
 
     def build_all_raw(self, batch: dict, rng: Optional[jax.Array] = None,
                       *, train: bool = False, out_dtype=jnp.bfloat16):

@@ -162,6 +162,19 @@ def _voxelize_pallas(
                 bins=bins_eff, height=hp, width=wp, interpret=interpret,
                 layout="raw", oh_dtype=oh_dtype, out_dtype=out_dtype,
                 normalize=normalize, resize_w=resize_w, chunk=chunk)
+        if layout == "stack":
+            # in-kernel s2d NCHW stack emission (see voxelize_folded):
+            # returns ((B, 4*C, H/2, W/2), stats) with normalize/flip
+            # deferred to the consumer's per-window elementwise map
+            # (EventPipeline.build_all_stack); no resize support
+            assert resize_w is None, "stack layout: no in-kernel resize"
+            stack, stats = voxelize_folded(
+                x.astype(jnp.float32), y.astype(jnp.float32), ts,
+                jnp.where(ok, pol, 0.0), tile_offsets,
+                bins=bins_eff, height=hp, width=wp, interpret=interpret,
+                layout="stack", oh_dtype=oh_dtype, out_dtype=out_dtype,
+                normalize=normalize, chunk=chunk)
+            return stack[:, :, : height // 2, : width // 2], stats
         grid = voxelize_folded(
             x.astype(jnp.float32), y.astype(jnp.float32), ts,
             jnp.where(ok, pol, 0.0), tile_offsets,
@@ -258,10 +271,10 @@ def voxelize_window_soa(
             # XLA scatter path, which has no folded decode.
             use_pallas = True
             pallas_interpret = True
-    if layout == "raw":
+    if layout in ("raw", "stack"):
         assert use_pallas and representation == "voxel_grid" and \
             offsets_kind == "band", (
-                "raw-accumulator layout requires the fold-free Pallas "
+                "raw/stack layouts require the fold-free Pallas "
                 "kernel (pre-folded band-offset batches)")
     if use_pallas and representation == "voxel_grid":
         assert rectify_map is None or tile_offsets is None, (

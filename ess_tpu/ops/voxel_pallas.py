@@ -335,7 +335,7 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
                     bins: int, row_gap: int, rows: int, n_sub: int,
                     slot_w: int, width_total: int, chunk: int, oh_dtype,
                     stats_rows: int = 0, n_pack: int = 1,
-                    deint: bool = False):
+                    deint: bool = False, stack_out: bool = False):
     """Pre-folded mode with per-x-slot dots (host_band_bin_folded
     x_slots=True).
 
@@ -356,6 +356,15 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
     n_pack bands — at the DSEC shape the grid is (160, 20) = 3200
     programs per step, so fixed overhead is a measurable slice of the
     ~19 ms kernel.
+
+    ``stack_out``: emit the space-to-depth NCHW stack DIRECTLY — the
+    output ref is (1, 4*bins, n_pack, th/2, width/2) and each slot's
+    accumulator is stored as 4*bins (th/2, slot_w/2) pieces at its
+    64-lane-aligned column range, using the de-interleaved iotas (so
+    the pieces are contiguous slab/lane-half slices of the accumulator,
+    pure register moves). The builder-side reshape/transpose/copy chain
+    (~13.7 ms at DSEC step scale) never runs; normalization and the
+    flip draw defer to the consumer's per-window elementwise map.
     """
     if stats_rows:
         out_ref, stats_ref, buf, sems = refs
@@ -375,6 +384,7 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
     # per-chunk cost; the consumer's s2d layout transform then moves only
     # coarse sublane/64-lane blocks instead of de-interleaving every other
     # lane/row (the ~10 ms reshape/transpose/copy chain at DSEC scale).
+    deint = deint or stack_out
     ci = jax.lax.broadcasted_iota(jnp.int32, (slot_w, chunk), 0)
     if deint:
         assert factored and row_gap % 2 == 0, (row_gap, deint)
@@ -467,7 +477,24 @@ def _kernel_slotted(offs_ref, ev_ref, *refs,
                 0, nblocks, chunk_body,
                 jnp.zeros((rows, slot_w), jnp.float32))
             g = acc.astype(out_ref.dtype)
-            out_ref[0, jb, :, xb * slot_w:(xb + 1) * slot_w] = g
+            if stack_out:
+                # de-interleaved accumulator -> s2d NCHW pieces: slab
+                # rows are (py, yh)-ordered and lanes (px, xh)-ordered,
+                # so every channel piece is a contiguous (th/2, sw2)
+                # slice stored at this slot's 64-lane-aligned range
+                half = row_gap // 2
+                sw2 = slot_w // 2
+                for c_bin in range(bins):
+                    for py in range(2):
+                        sub = g[c_bin * row_gap + py * half:
+                                c_bin * row_gap + (py + 1) * half]
+                        for px in range(2):
+                            c_idx = (py * 2 + px) * bins + c_bin
+                            out_ref[0, c_idx, jb, :,
+                                    xb * sw2:(xb + 1) * sw2] = (
+                                sub[:, px * sw2:(px + 1) * sw2])
+            else:
+                out_ref[0, jb, :, xb * slot_w:(xb + 1) * slot_w] = g
             if stats_rows:
                 gv = g[:stats_rows].astype(jnp.float32)
                 s_sum = s_sum + jnp.sum(gv)
@@ -1100,9 +1127,24 @@ def voxelize_folded(
     n_pack = (max(p for p in range(1, FOLDED_BAND_PACK + 1)
                   if n_bands % p == 0) if ntx > 1 else 1)
     grid = (b, n_bands // n_pack)
-    out_specs = pl.BlockSpec(
-        (1, n_pack, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
-    out_shapes = jax.ShapeDtypeStruct((b, n_bands, rows_pad, width), out_dtype)
+    stack_out = layout == "stack"
+    if stack_out:
+        # direct s2d NCHW stack emission (see _kernel_slotted stack_out):
+        # (B, 4*bins, n_bands, th/2, W/2); slotted kernel only, even tile
+        # height, no in-kernel resize (the width matmul mixes columns
+        # across slots)
+        assert ntx > 1 and th % 2 == 0 and resize_w is None, (
+            ntx, th, resize_w)
+        out_specs = pl.BlockSpec(
+            (1, 4 * bins, n_pack, th // 2, width // 2),
+            lambda b_, t_, offs: (b_, 0, t_, 0, 0))
+        out_shapes = jax.ShapeDtypeStruct(
+            (b, 4 * bins, n_bands, th // 2, width // 2), out_dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, n_pack, rows_pad, width), lambda b_, t_, offs: (b_, t_, 0, 0))
+        out_shapes = jax.ShapeDtypeStruct(
+            (b, n_bands, rows_pad, width), out_dtype)
     want_stats = with_stats or normalize
     if want_stats:
         out_specs = [out_specs, pl.BlockSpec(
@@ -1126,7 +1168,7 @@ def voxelize_folded(
             _kernel_slotted, bins=bins, row_gap=th, rows=rows_pad,
             n_sub=ntx, slot_w=TILE_W, width_total=width, chunk=chunk,
             oh_dtype=oh_dtype, stats_rows=rows if want_stats else 0,
-            n_pack=n_pack, deint=deint)
+            n_pack=n_pack, deint=deint, stack_out=stack_out)
         scratch = [
             pltpu.VMEM((n_pack * ntx, 2, 4, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((n_pack * ntx, 2)),
@@ -1159,6 +1201,13 @@ def voxelize_folded(
         out, raw_stats = out
         # per-(window, band) partials -> (B, 3) per-window totals
         stats = jnp.sum(raw_stats[:, :, 0, :3], axis=1)
+
+    if stack_out:
+        # (B, 4*bins, n_bands, th/2, W/2) -> (B, 4*bins, H/2, W/2): the
+        # (n_bands, th/2) merge is a contiguous free reshape. Normalize
+        # and flip are the CONSUMER's per-window elementwise map
+        # (EventPipeline.build_all_stack) — stats returned raw.
+        return out.reshape(b, 4 * bins, height // 2, width // 2), stats
 
     if deint:
         flat = out[:, :, :rows]                     # (b, nb, rows, width)

@@ -61,9 +61,22 @@ def _rollout(mods, recon, state, batch, pipeline, *, train, rng=None,
                 and (g.padded_height, g.padded_width)
                 == (recon.height, recon.width)
                 and cfg.output_size(train) == (recon.height, recon.width))
-            use_raw = (use_s2d and not quad
+            use_stack = (use_s2d and not quad
+                         and pipeline.stack_capable(train=train,
+                                                    batch=batch))
+            use_raw = (use_s2d and not quad and not use_stack
                        and pipeline.raw_capable(train=train, batch=batch))
-            if use_raw:
+            if use_stack:
+                # stack-window mode: the voxelizer kernel emits the s2d
+                # NCHW window stack directly (no bulk layout chain); the
+                # per-window map is elementwise normalize/flip + the
+                # window relayout the scan already pays
+                # (build_all_stack docstring).
+                rawd, labels, wmap = pipeline.build_all_stack(
+                    batch, rng, train=train, out_dtype=recon.model.dtype)
+                img, _, latent = recon.rollout_raw(
+                    state.e2vid_params, rawd["raw"], rawd["stats"], wmap)
+            elif use_raw:
                 # raw-window mode: the scan consumes the voxelizer's RAW
                 # band accumulator directly; normalize/flip/s2d-transform/
                 # crop all fuse into one in-scan pass per window

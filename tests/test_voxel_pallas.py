@@ -874,3 +874,124 @@ def test_supervised_rollout_raw_matches_s2d(rng):
         _, out = step(state, batch)
         losses[name] = float(out["loss"])
     assert np.isclose(losses["raw"], losses["stack"], rtol=1e-5), losses
+
+
+def _folded_slotted_batch(rng, b, t_dim, n, h, w, *, bins=5, label_classes=0):
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    raw = np.zeros((b, t_dim, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, t_dim, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, t_dim, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, t_dim, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, t_dim, n))
+    valid = np.ones((b, t_dim, n), bool)
+    rs, vs, os_ = [], [], []
+    for i in range(b):
+        r2, v2, o2 = host_band_bin_folded(raw[i], valid[i], height=h,
+                                          width=w, bins=bins, x_slots=True)
+        rs.append(r2); vs.append(v2); os_.append(o2)
+    rs, vs = np.stack(rs), np.stack(vs)
+    batch = {
+        "ev_x": jnp.asarray(rs[..., 0]), "ev_y": jnp.asarray(rs[..., 1]),
+        "ev_t": jnp.asarray(rs[..., 2]), "ev_p": jnp.asarray(rs[..., 3]),
+        "ev_valid": jnp.asarray(vs),
+        "ev_band_offsets": jnp.asarray(np.stack(os_)),
+    }
+    if label_classes:
+        batch["label"] = jnp.asarray(
+            rng.integers(0, label_classes, (b, h - 8, w)), jnp.int32)
+    return batch
+
+
+def test_voxelize_stack_layout(rng):
+    """layout='stack' (in-kernel s2d NCHW emission) == transpose of the
+    s2d layout output — exact (f32 planes, interpret)."""
+    from ess_tpu.ops.voxel_pallas import host_band_bin_folded
+
+    b, n, h, w = 2, 600, 24, 256
+    raw = np.zeros((b, n, 4), np.float32)
+    raw[..., 0] = rng.uniform(0, w - 1, (b, n))
+    raw[..., 1] = rng.uniform(0, h - 1, (b, n))
+    raw[..., 2] = np.sort(rng.uniform(0, 1e4, (b, n)), axis=-1)
+    raw[..., 3] = rng.integers(0, 2, (b, n))
+    r2, v2, o2 = host_band_bin_folded(raw, np.ones((b, n), bool),
+                                      height=h, width=w, bins=5,
+                                      x_slots=True)
+    args = [jnp.asarray(r2[..., i]) for i in range(4)] + [jnp.asarray(v2)]
+    kw = dict(num_bins=5, height=h, width=w, trilinear=True,
+              use_pallas=True, pallas_interpret=True,
+              oh_dtype=jnp.float32, offsets_kind="band",
+              tile_offsets=jnp.asarray(o2))
+    s2d = voxelize_window_soa(*args, layout="s2d", **kw)
+    stack, stats = voxelize_window_soa(*args, layout="stack", **kw)
+    assert stack.shape == (b, 20, h // 2, w // 2)
+    assert stats is None
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(stack, (0, 2, 3, 1))), np.asarray(s2d))
+
+
+def test_pipeline_build_all_stack_window_map(rng):
+    """Stack-window mode (build_all_stack + window_map) reproduces the
+    s2d build bit-for-bit: deferred normalize, block-space flip, crop
+    and NHWC transpose all match build_all(layout='s2d', time_major)."""
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+
+    b, t_dim, n, h, w = 2, 3, 500, 24, 256
+    batch = _folded_slotted_batch(rng, b, t_dim, n, h, w, label_classes=5)
+    pipe = EventPipeline(PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, crop_bottom=8, random_flip=True, stack_windows=True,
+        use_pallas=True, pallas_interpret=True, voxel_oh_dtype="float32"))
+    assert pipe.stack_capable(train=True, batch=batch)
+    key = jax.random.PRNGKey(3)
+    ref, lbl_ref = pipe.build_all(batch, key, train=True, layout="s2d",
+                                  out_dtype=jnp.float32, time_major=True)
+    stackd, lbl_got, wmap = pipe.build_all_stack(batch, key, train=True,
+                                                 out_dtype=jnp.float32)
+    assert stackd["stats"] is not None
+    got = np.stack([
+        np.asarray(wmap(stackd["raw"][t], stackd["stats"][t]))
+        for t in range(t_dim)])
+    # the deint emission permutes the kernel's stats reduction order:
+    # mean/std agree to ~1 ulp, so normalized cells differ at ~1e-7
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lbl_got), np.asarray(lbl_ref))
+
+
+def test_supervised_step_stack_matches_s2d(rng):
+    """The full supervised train step takes the stack-window path when
+    pinned on and computes the SAME loss as the s2d stack-chain path —
+    end-to-end graph equivalence."""
+    import dataclasses
+    import jax
+    from ess_tpu.data.pipeline import EventPipeline, PipelineConfig
+    from ess_tpu.train import supervised as sup
+    from ess_tpu.train.builder import build_modules, init_state
+    from tests.test_train_steps import tiny_config
+
+    h, w = 16, 256   # width >= 2 slots: the slotted kernel stack mode needs
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, dataset=dataclasses.replace(
+        cfg.dataset,
+        sensor_a=dataclasses.replace(cfg.dataset.sensor_a, shape=(h, w)),
+        sensor_b=dataclasses.replace(cfg.dataset.sensor_b, shape=(h, w))))
+    mods = build_modules(cfg)
+    state0 = init_state(mods, jax.random.PRNGKey(0))
+    pcfg = PipelineConfig(
+        sensor_height=h, sensor_width=w, num_bins=5, trilinear=True,
+        normalize=True, random_flip=True,
+        use_pallas=True, pallas_interpret=True)
+
+    batch = _folded_slotted_batch(rng, 2, 2, 256, h, w)
+    batch["label"] = jnp.asarray(rng.integers(0, 6, (2, h, w)), jnp.int32)
+    assert EventPipeline(dataclasses.replace(
+        pcfg, stack_windows=True)).stack_capable(train=True, batch=batch)
+    losses = {}
+    for name, pin in (("stack", True), ("chain", False)):
+        pipe = EventPipeline(dataclasses.replace(pcfg, stack_windows=pin))
+        step = sup.make_train_step(mods, pipe)
+        state = jax.tree.map(jnp.copy, state0)
+        _, out = step(state, batch)
+        losses[name] = float(out["loss"])
+    assert np.isclose(losses["stack"], losses["chain"], rtol=1e-5), losses

@@ -39,6 +39,7 @@ LADDER = [
     ("int8-cells (r3 default)", {}, {}, False),
     ("+folded-voxel (default)", {}, {}, True),
     ("+raw-windows (opt-in)", {}, {"raw_windows": True}, True),
+    ("+stack-emit", {}, {"stack_windows": True}, True),
     ("+voxel-int8 (opt-in)", {}, {"voxel_oh_dtype": "int8"}, True),
 ]
 

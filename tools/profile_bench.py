@@ -185,11 +185,19 @@ def main() -> None:
         return
 
     # the EXACT bench.py program: shared config, pipeline, and (folded)
-    # batch builders, so profiles attribute the driver metric's step
+    # batch builders, so profiles attribute the driver metric's step.
+    # --pipe key=value overrides PipelineConfig fields (bool/int parsed).
+    pipe_kw = {}
+    while "--pipe" in argv:
+        i = argv.index("--pipe")
+        k, v = argv[i + 1].split("=")
+        pipe_kw[k] = {"True": True, "False": False}.get(v, v)
+        del argv[i:i + 2]
+    trace_dir = argv[0] if argv else trace_dir
     cfg = bench.make_cfg()
     mods = build_modules(cfg)
     state = init_state(mods, jax.random.PRNGKey(0))
-    pipeline = bench.make_pipeline()
+    pipeline = bench.make_pipeline(**pipe_kw)
     step = sup.make_train_step(mods, pipeline)
     batch = bench.make_batch(folded=True)
 
