@@ -82,11 +82,15 @@ class PipelineConfig:
     # stack-window mode: the voxelizer kernel emits the space-to-depth
     # NCHW window stack DIRECTLY (voxelize_folded layout='stack') and
     # the per-window map is ONLY elementwise normalize/flip + the
-    # window relayout the scan already pays — unlike raw_windows, no
-    # fine reshape/transpose runs inside the scan, and unlike the
-    # default, the bulk 4-pass stack chain (~13.7 ms at DSEC step
-    # scale) never runs at all. Needs pre-folded band batches on the
-    # slotted kernel, no resize. None = auto (OFF until measured).
+    # window relayout the scan already pays. MEASURED NEUTRAL at DSEC
+    # step scale (744.8 vs 743.2 w/s, r5 ladder + xplane): the in-kernel
+    # emission is ~free (+0.7 ms) and the 13.7 ms chain drops to one
+    # 6.3 ms bulk relayout XLA re-inserts toward its preferred C-minor
+    # stack layout, but the per-window map costs 2x the plain window
+    # relayout (9.0 vs 4.9 ms) — the chain is LAYOUT-bound, not
+    # pass-count-bound (same convergence as deint and raw_windows).
+    # Needs pre-folded band batches on the slotted kernel, no resize.
+    # None = auto (OFF). Kept as a parity-tested opt-in.
     stack_windows: Optional[bool] = None
 
     @property
@@ -472,10 +476,10 @@ class EventPipeline:
         cfg = self.cfg
         on = cfg.stack_windows if cfg.stack_windows is not None else False
         offs = batch.get("ev_band_offsets")
+        # s2d_capable already covers use_pallas (default-resolved),
+        # representation, even geometry and block-space transforms
         if not (on and self.s2d_capable(train=train) and offs is not None
-                and cfg.resize_to is None and cfg.use_pallas
-                and cfg.representation == "voxel_grid"
-                and cfg.sensor_height % 2 == 0):
+                and cfg.resize_to is None):
             return False
         bins_eff = effective_bins(
             cfg.num_bins, cfg.separate_pol, cfg.trilinear)

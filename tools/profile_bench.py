@@ -146,6 +146,29 @@ def main() -> None:
         parse_xplane(trace_dir)
         return
 
+    if config == "uda":
+        # VERDICT r5 #2: the DSEC UDA train step has never been
+        # xplane-attributed — profile the EXACT bench_extra.bench_uda_dsec
+        # program (image branch + 3 head passes + cycle losses + 2 opts)
+        import bench_extra
+        from ess_tpu.train import uda as uda_mod
+
+        cfg = bench_extra.make_uda_dsec_cfg()
+        pipe, batch = bench_extra.make_uda_dsec_inputs()
+        mods = build_modules(cfg)
+        state = init_state(mods, jax.random.PRNGKey(0))
+        step = uda_mod.make_train_step(mods, pipe)
+        state, out = step(state, batch)
+        float(out["loss"])  # warmup/compile
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            state, out = step(state, batch)
+            float(out["loss"])
+        jax.profiler.stop_trace()
+        print("trace written to", trace_dir)
+        parse_xplane(trace_dir)
+        return
+
     if config == "streaming":
         # VERDICT r4 #8: the B=1 carried-state long-horizon eval shape
         # (bench_extra.bench_streaming_eval) — 19 encode windows + 1 scored
